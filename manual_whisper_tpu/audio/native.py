@@ -1,0 +1,107 @@
+"""ctypes binding to the native audio frontend (libmwx_audio.so).
+
+Built from ``manual_whisper_tpu/native/mwx_audio.cpp`` via its Makefile;
+silently falls back to the numpy implementations when the shared object is
+absent (callers catch exceptions / check for None).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _LIB_DIR / "libmwx_audio.so"
+
+_lib = None
+_lib_lock = threading.Lock()
+_load_attempted = False
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_LIB_DIR)], capture_output=True,
+                       check=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building on first use if possible) the native library."""
+    global _lib, _load_attempted
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if _load_attempted:
+            return None
+        _load_attempted = True
+        if not _LIB_PATH.exists() and not _try_build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+        lib.mwx_decode_wav.restype = ctypes.c_int
+        lib.mwx_decode_wav.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mwx_resample.restype = ctypes.c_int
+        lib.mwx_resample.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.mwx_free.restype = None
+        lib.mwx_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_decode_wav(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode WAV bytes -> (mono float32, sample_rate), or None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    out_len = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    rc = lib.mwx_decode_wav(data, len(data), ctypes.byref(out),
+                            ctypes.byref(out_len), ctypes.byref(sr))
+    if rc != 0:
+        raise ValueError(f"mwx_decode_wav failed with code {rc}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    finally:
+        lib.mwx_free(out)
+    return arr, int(sr.value)
+
+
+def native_resample(audio: np.ndarray, sr_in: int, sr_out: int
+                    ) -> Optional[np.ndarray]:
+    """Resample via the native library, or None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    audio = np.ascontiguousarray(audio, dtype=np.float32)
+    out = ctypes.POINTER(ctypes.c_float)()
+    out_n = ctypes.c_int64()
+    rc = lib.mwx_resample(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        audio.size, sr_in, sr_out, ctypes.byref(out), ctypes.byref(out_n))
+    if rc != 0:
+        raise ValueError(f"mwx_resample failed with code {rc}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(out_n.value,)).copy()
+    finally:
+        lib.mwx_free(out)
+    return arr

@@ -1,0 +1,86 @@
+"""Audio frontend tests (reference surface: whisperx.load_audio,
+transcribe.py:117-118 — ffmpeg decode to 16 kHz mono f32)."""
+
+import numpy as np
+import pytest
+
+from manual_whisper_tpu.audio import (
+    SAMPLE_RATE, decode_wav_bytes, load_audio, resample_poly, write_wav)
+from manual_whisper_tpu.audio.native import (
+    get_lib, native_decode_wav, native_resample)
+
+
+def sine(freq, sr, seconds=1.0, amp=0.5):
+    t = np.arange(int(sr * seconds)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_wav_roundtrip_16bit(tmp_path):
+    x = sine(440, SAMPLE_RATE)
+    path = tmp_path / "tone.wav"
+    write_wav(path, x, SAMPLE_RATE)
+    y = load_audio(path)
+    assert y.dtype == np.float32
+    assert len(y) == len(x)
+    assert np.abs(y - x).max() < 2e-4  # 16-bit quantization error
+
+
+def test_decode_stereo_averages_to_mono():
+    import struct
+    sr = 16000
+    left = sine(440, sr, 0.1)
+    right = sine(440, sr, 0.1) * 0.0
+    inter = np.empty(2 * len(left), dtype=np.float32)
+    inter[0::2], inter[1::2] = left, right
+    pcm = (np.clip(inter, -1, 1) * 32767).astype("<i2").tobytes()
+    header = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm),
+                         b"WAVE", b"fmt ", 16, 1, 2, sr, sr * 4, 4, 16,
+                         b"data", len(pcm))
+    samples, got_sr = decode_wav_bytes(header + pcm)
+    assert got_sr == sr and samples.shape == (len(left), 2)
+    mono = samples.mean(axis=1)
+    assert np.abs(mono - left / 2).max() < 2e-4
+
+
+def test_resample_preserves_tone_frequency():
+    sr_in = 44100
+    x = sine(440, sr_in, 1.0)
+    y = resample_poly(x, sr_in, 16000)
+    assert abs(len(y) - 16000) <= 1
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    freqs = np.fft.rfftfreq(len(y), 1 / 16000)
+    assert abs(freqs[np.argmax(spec)] - 440) < 2
+
+
+def test_resample_rejects_above_nyquist():
+    sr_in = 48000
+    x = sine(10000, sr_in, 0.5)  # above 8 kHz target Nyquist
+    y = resample_poly(x, sr_in, 16000)
+    assert np.sqrt(np.mean(y ** 2)) < 0.02  # filtered out
+
+
+def test_resample_identity():
+    x = sine(440, 16000, 0.2)
+    assert resample_poly(x, 16000, 16000) is x or np.array_equal(
+        resample_poly(x, 16000, 16000), x)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="native lib not built")
+def test_native_matches_numpy(tmp_path):
+    x = sine(440, 44100, 0.5)
+    write_wav(tmp_path / "t.wav", x, 44100)
+    data = (tmp_path / "t.wav").read_bytes()
+    ref_samples, ref_sr = decode_wav_bytes(data)
+    nat_samples, nat_sr = native_decode_wav(data)
+    assert ref_sr == nat_sr
+    assert np.abs(np.squeeze(ref_samples) - nat_samples).max() < 1e-6
+
+    y_np = resample_poly(x, 44100, 16000)
+    y_nat = native_resample(x, 44100, 16000)
+    assert y_nat is not None
+    assert np.abs(y_np - y_nat).max() < 1e-5
+
+
+def test_load_audio_missing_file():
+    with pytest.raises(FileNotFoundError):
+        load_audio("/nonexistent/file.wav")

@@ -1,0 +1,127 @@
+"""Tokenizer tests: BPE round-trip + Whisper special-token scheme.
+
+The special-token ID layout is checked against the published constants of
+OpenAI Whisper checkpoints (multilingual base vocab 50257): e.g. for
+large-v3 (100 languages) sot=50258, transcribe=50360, timestamp_begin=50365,
+n_vocab=51866; for tiny..large-v2 (99 languages) transcribe=50359,
+timestamp_begin=50364, n_vocab=51865.
+"""
+
+import pytest
+
+from manual_whisper_tpu.tokenizer import (
+    ByteLevelBPE, SpecialTokens, WhisperTokenizer, bytes_to_unicode,
+    make_test_tokenizer)
+
+
+def test_bytes_to_unicode_reversible():
+    table = bytes_to_unicode()
+    assert len(table) == 256
+    assert len(set(table.values())) == 256
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = make_test_tokenizer()
+    for text in ["hello world", "中文会议讨论记录，保持原意。",
+                 "mixed 中英 text! 123", "emoji 🎙️ test"]:
+        ids = tok.encode(text)
+        assert tok.decode(ids) == text
+
+
+def test_bpe_merges_apply():
+    # base vocab: bytes; add a merge for 'h'+'e' and token 'he'
+    vocab = {ch: i for i, ch in
+             enumerate(bytes_to_unicode()[b] for b in range(256))}
+    vocab["he"] = 256
+    bpe = ByteLevelBPE(vocab, [("h", "e")])
+    ids = bpe.encode("he")
+    assert ids == [256]
+    assert bpe.decode(ids) == "he"
+
+
+def test_special_token_layout_large_v3():
+    sp = SpecialTokens.build(50257, num_languages=100)
+    assert sp.eot == 50257
+    assert sp.sot == 50258
+    assert sp.lang_base == 50259
+    assert sp.translate == 50359
+    assert sp.transcribe == 50360
+    assert sp.sot_lm == 50361
+    assert sp.sot_prev == 50362
+    assert sp.no_speech == 50363
+    assert sp.no_timestamps == 50364
+    assert sp.timestamp_begin == 50365
+    assert sp.n_vocab == 51866
+
+
+def test_special_token_layout_v2():
+    sp = SpecialTokens.build(50257, num_languages=99)
+    assert sp.transcribe == 50359
+    assert sp.no_timestamps == 50363
+    assert sp.timestamp_begin == 50364
+    assert sp.n_vocab == 51865
+
+
+def test_language_tokens():
+    tok = make_test_tokenizer()
+    zh = tok.language_token("zh")
+    en = tok.language_token("en")
+    assert zh == tok.special.lang_base + 1
+    assert en == tok.special.lang_base
+    assert tok.language_from_token(zh) == "zh"
+    assert tok.language_token("yue") == tok.special.lang_base + 99
+    with pytest.raises(KeyError):
+        tok.language_token("xx")
+
+
+def test_sot_sequence():
+    tok = make_test_tokenizer()
+    seq = tok.sot_sequence(language="zh", task="transcribe",
+                           without_timestamps=True)
+    sp = tok.special
+    assert seq == [sp.sot, tok.language_token("zh"), sp.transcribe,
+                   sp.no_timestamps]
+    seq_ts = tok.sot_sequence(language="en", task="translate",
+                              without_timestamps=False)
+    assert seq_ts == [sp.sot, tok.language_token("en"), sp.translate]
+
+
+def test_prompt_sequence_truncates():
+    tok = make_test_tokenizer()
+    seq = tok.prompt_sequence("术语参考" * 300, max_len=10)
+    assert seq[0] == tok.special.sot_prev
+    assert len(seq) == 11
+
+
+def test_timestamp_tokens():
+    tok = make_test_tokenizer()
+    t0 = tok.timestamp_token(0.0)
+    assert t0 == tok.special.timestamp_begin
+    t5 = tok.timestamp_token(5.0)
+    assert tok.timestamp_from_token(t5) == pytest.approx(5.0)
+    t_max = tok.timestamp_token(99.0)  # clamped to 30.00
+    assert tok.timestamp_from_token(t_max) == pytest.approx(30.0)
+    assert tok.is_timestamp(t0)
+    assert not tok.is_timestamp(tok.special.eot)
+
+
+def test_decode_skips_specials():
+    tok = make_test_tokenizer()
+    ids = tok.sot_sequence() + tok.encode("你好") + [tok.special.eot]
+    assert tok.decode(ids) == "你好"
+
+
+def test_decode_with_timestamps():
+    tok = make_test_tokenizer()
+    ids = ([tok.timestamp_token(0.0)] + tok.encode("hi")
+           + [tok.timestamp_token(1.5)])
+    assert tok.decode_with_timestamps(ids) == "<|0.00|>hi<|1.50|>"
+
+
+def test_save_load_roundtrip(tmp_path):
+    tok = make_test_tokenizer()
+    tok.bpe.save(tmp_path)
+    loaded = WhisperTokenizer.from_dir(tmp_path)
+    text = "中文 mixed 123"
+    assert loaded.decode(loaded.encode(text)) == text
+    assert loaded.special.n_vocab == tok.special.n_vocab
