@@ -1,0 +1,7 @@
+from .whisper import (MODEL_CONFIGS, WhisperConfig, encode, decoder_forward,
+                      decode_step, init_params, init_kv_cache,
+                      precompute_cross_kv, sinusoids)
+
+__all__ = ["MODEL_CONFIGS", "WhisperConfig", "encode", "decoder_forward",
+           "decode_step", "init_params", "init_kv_cache",
+           "precompute_cross_kv", "sinusoids"]

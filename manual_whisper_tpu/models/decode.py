@@ -1,0 +1,280 @@
+"""Batched Whisper decoding on TPU.
+
+Replaces CTranslate2's C++ generate loop (driven by ``model.transcribe``,
+reference: transcribe.py:123).  TPU design:
+
+- ONE jitted function per (batch, prefix_len, max_new) bucket: prefill over
+  the prompt + ``lax.while_loop`` of single-token steps with an in-place
+  KV cache (buffer donation keeps the cache in HBM).
+- whole batch decodes in lockstep; finished rows emit EOT and stop
+  contributing (cheaper than ragged early-exit on SPMD hardware).
+- quality gates (compression ratio / avg logprob / no-speech) + the
+  temperature fallback ladder run on host between jitted calls, matching
+  faster-whisper's behavior surfaced via the reference's
+  ``temperature`` knob (web/.env.example:50, replicateClient.js:43).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tokenizer import WhisperTokenizer
+from .whisper import (Params, WhisperConfig, decode_step, decoder_forward,
+                      init_kv_cache, precompute_cross_kv)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodingOptions:
+    """Mirrors the option surface the reference exercises
+    (initial_prompt: transcribe.py:111; temperature: replicateClient.js:43;
+    language/task: transcribe.py:112/123)."""
+
+    language: str = "zh"
+    task: str = "transcribe"
+    temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    initial_prompt: Optional[str] = None
+    max_new_tokens: int = 224
+    suppress_blank: bool = True
+    suppress_non_speech: bool = True
+    without_timestamps: bool = True
+    compression_ratio_threshold: Optional[float] = 2.4
+    log_prob_threshold: Optional[float] = -1.0
+    no_speech_threshold: Optional[float] = 0.6
+    seed: int = 0
+
+
+def build_suppress_mask(tokenizer: WhisperTokenizer, cfg: WhisperConfig,
+                        opts: DecodingOptions) -> np.ndarray:
+    """Additive -inf mask [n_vocab] applied at every step."""
+    sp = tokenizer.special
+    mask = np.zeros(cfg.n_vocab, np.float32)
+    suppress = {sp.sot, sp.sot_prev, sp.sot_lm, sp.no_speech}
+    suppress.update(tokenizer.all_language_tokens)
+    suppress.add(sp.translate)
+    suppress.add(sp.transcribe)
+    if opts.suppress_non_speech:
+        suppress.update(tokenizer.non_speech_tokens())
+    if opts.without_timestamps:
+        suppress.add(sp.no_timestamps)
+        mask[sp.timestamp_begin:] = -np.inf
+    for t in suppress:
+        if t < cfg.n_vocab:
+            mask[t] = -np.inf
+    return mask
+
+
+def build_blank_mask(tokenizer: WhisperTokenizer, cfg: WhisperConfig
+                     ) -> np.ndarray:
+    """First-step mask: suppress blank/space and EOT (OpenAI suppress_blank)."""
+    mask = np.zeros(cfg.n_vocab, np.float32)
+    space = tokenizer.encode(" ")
+    if len(space) == 1:
+        mask[space[0]] = -np.inf
+    mask[tokenizer.special.eot] = -np.inf
+    return mask
+
+
+@partial(jax.jit, static_argnames=("eot", "cfg", "max_new"))
+def greedy_decode_jit(params: Params, xa: jnp.ndarray,
+                      prefix: jnp.ndarray, suppress_mask: jnp.ndarray,
+                      blank_mask: jnp.ndarray, temperature: jnp.ndarray,
+                      rng: jnp.ndarray,
+                      eot: int, cfg: WhisperConfig, max_new: int):
+    """Prefill + decode loop, one compiled program.
+
+    xa [B, Ta, d]; prefix [P] shared prompt (identical across the batch —
+    the reference uses one initial_prompt per job, transcribe.py:111).
+    Returns (tokens [B, max_new], sum_logprobs [B], lengths [B],
+    no_speech_probs [B]).
+    """
+    b = xa.shape[0]
+    p = prefix.shape[0]
+    eot_i32 = jnp.int32(eot)
+
+    cross_kv = precompute_cross_kv(params, xa, cfg)
+    cache = init_kv_cache(cfg, b, max_len=p + max_new)
+
+    prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
+    prefill_logits, cache = decoder_forward(
+        params, prefix_b, xa, cfg, pos_offset=0, kv_cache=cache)
+
+    first_logits = prefill_logits[:, -1, :] + suppress_mask + blank_mask
+
+    def sample(logits, key):
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(key, logits.shape, minval=1e-9, maxval=1.0)))
+        sampled = jnp.argmax(
+            logits / jnp.maximum(temperature, 1e-6) + gumbel,
+            axis=-1).astype(jnp.int32)
+        return jnp.where(temperature > 0, sampled, greedy)
+
+    def logprob_of(logits, tok):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
+
+    key0, loop_key = jax.random.split(rng)
+    tok0 = sample(first_logits, key0)
+    lp0 = logprob_of(first_logits, tok0)
+
+    tokens0 = jnp.full((b, max_new), eot_i32, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(tok0)
+    finished0 = tok0 == eot_i32
+    state = (tokens0, tok0, jnp.int32(1), cache, finished0,
+             lp0, jnp.where(finished0, 1, 1).astype(jnp.int32), loop_key)
+
+    def cond(state):
+        _, _, i, _, finished, _, _, _ = state
+        return jnp.logical_and(i < max_new, ~jnp.all(finished))
+
+    def body(state):
+        tokens, last, i, cache, finished, sum_lp, lengths, key = state
+        logits, cache = decode_step(params, last, p + i - 1, cache,
+                                    cross_kv, cfg)
+        logits = logits + suppress_mask
+        key, sub = jax.random.split(key)
+        nxt = sample(logits, sub)
+        nxt = jnp.where(finished, eot_i32, nxt)
+        lp = jnp.where(finished, 0.0, logprob_of(logits, nxt))
+        tokens = tokens.at[:, i].set(nxt)
+        now_finished = jnp.logical_or(finished, nxt == eot_i32)
+        lengths = lengths + jnp.where(finished, 0, 1).astype(jnp.int32)
+        return (tokens, nxt, i + 1, cache, now_finished,
+                sum_lp + lp, lengths, key)
+
+    tokens, _, _, _, _, sum_lp, lengths, _ = jax.lax.while_loop(
+        cond, body, state)
+
+    # no-speech probability is measured by the caller from the SOT slot of
+    # prefill_logits (the logits that predict the token following SOT).
+    return tokens, sum_lp, lengths, prefill_logits
+
+
+def _no_speech_probs(prefill_logits: jnp.ndarray, sot_index: int,
+                     no_speech_token: int) -> np.ndarray:
+    probs = jax.nn.softmax(prefill_logits[:, sot_index, :], axis=-1)
+    return np.asarray(probs[:, no_speech_token])
+
+
+def compression_ratio(text: str) -> float:
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+@dataclasses.dataclass
+class SegmentResult:
+    tokens: List[int]
+    text: str
+    avg_logprob: float
+    no_speech_prob: float
+    compression_ratio: float
+    temperature: float
+
+
+class BatchDecoder:
+    """Host-side driver: prompt building, jitted decode, fallback ladder."""
+
+    def __init__(self, params: Params, cfg: WhisperConfig,
+                 tokenizer: WhisperTokenizer, opts: DecodingOptions):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.opts = opts
+        self._suppress = jnp.asarray(
+            build_suppress_mask(tokenizer, cfg, opts))
+        self._blank = (jnp.asarray(build_blank_mask(tokenizer, cfg))
+                       if opts.suppress_blank
+                       else jnp.zeros(cfg.n_vocab, jnp.float32))
+
+    def _prefix(self) -> Tuple[np.ndarray, int]:
+        """(prefix tokens, index of SOT within the prefix)."""
+        tk = self.tokenizer
+        prompt: List[int] = []
+        if self.opts.initial_prompt:
+            prompt = tk.prompt_sequence(self.opts.initial_prompt,
+                                        max_len=self.cfg.n_text_ctx // 2 - 1)
+        sot_seq = tk.sot_sequence(
+            language=self.opts.language, task=self.opts.task,
+            without_timestamps=self.opts.without_timestamps)
+        return np.asarray(prompt + sot_seq, np.int32), len(prompt)
+
+    def decode(self, xa: jnp.ndarray,
+               temperature: float = 0.0) -> List[SegmentResult]:
+        """Decode a batch of encoded segments xa [B, Ta, d] at one
+        temperature; returns per-segment results with quality stats."""
+        tk = self.tokenizer
+        prefix, sot_index = self._prefix()
+        b = int(xa.shape[0])
+        max_new = min(self.opts.max_new_tokens,
+                      self.cfg.n_text_ctx - len(prefix) - 1)
+        tokens, sum_lp, lengths, prefill_logits = greedy_decode_jit(
+            self.params, xa, jnp.asarray(prefix), self._suppress,
+            self._blank, jnp.float32(temperature),
+            jax.random.PRNGKey(self.opts.seed),
+            tk.special.eot, self.cfg, max_new)
+        no_speech = _no_speech_probs(prefill_logits, sot_index,
+                                     tk.special.no_speech)
+        tokens = np.asarray(tokens)
+        sum_lp = np.asarray(sum_lp)
+        lengths = np.asarray(lengths)
+
+        results = []
+        for i in range(b):
+            toks = [int(t) for t in tokens[i] if t != tk.special.eot]
+            text = tk.decode(toks).strip()
+            # +1 for the EOT step, matching OpenAI's avg over len+1
+            avg_lp = float(sum_lp[i] / max(int(lengths[i]) + 1, 1))
+            results.append(SegmentResult(
+                tokens=toks, text=text, avg_logprob=avg_lp,
+                no_speech_prob=float(no_speech[i]),
+                compression_ratio=compression_ratio(text),
+                temperature=temperature))
+        return results
+
+    def _needs_fallback(self, r: SegmentResult) -> bool:
+        o = self.opts
+        if (o.compression_ratio_threshold is not None
+                and r.compression_ratio > o.compression_ratio_threshold):
+            return True
+        if (o.log_prob_threshold is not None
+                and r.avg_logprob < o.log_prob_threshold):
+            return True
+        return False
+
+    def decode_with_fallback(self, xa: jnp.ndarray) -> List[SegmentResult]:
+        """faster-whisper style temperature ladder: retry failing segments
+        at increasing temperature; keep the first passing result."""
+        temps = self.opts.temperatures or (0.0,)
+        results = self.decode(xa, temperature=temps[0])
+        pending = [i for i, r in enumerate(results)
+                   if self._needs_fallback(r)]
+        for temp in temps[1:]:
+            if not pending:
+                break
+            sub = xa[np.asarray(pending)]
+            retried = self.decode(sub, temperature=temp)
+            still = []
+            for j, i in enumerate(pending):
+                results[i] = retried[j]
+                if self._needs_fallback(retried[j]):
+                    still.append(i)
+            pending = still
+        return results
+
+    def is_no_speech(self, r: SegmentResult) -> bool:
+        """Silence gate (OpenAI semantics: no-speech prob high AND logprob
+        low => treat as silence)."""
+        o = self.opts
+        return (o.no_speech_threshold is not None
+                and r.no_speech_prob > o.no_speech_threshold
+                and (o.log_prob_threshold is None
+                     or r.avg_logprob < o.log_prob_threshold))

@@ -1,0 +1,437 @@
+"""Whisper encoder-decoder in functional JAX, TPU-first.
+
+Replaces the CTranslate2 C++ engine the reference drives through
+``whisperx.load_model(...)`` / ``model.transcribe(...)``
+(reference: transcribe.py:107-123).  Design choices for TPU/XLA:
+
+- **Stacked layers + lax.scan**: per-layer weights are stacked on a leading
+  layer axis so a transformer stack is one scan (fast compile, one HLO body,
+  natural pjit sharding specs).
+- **Functional params pytree**: plain nested dict of jnp arrays; conversion
+  from HF checkpoints is a pure re-layout (convert/from_hf.py).
+- **bf16 by default** with float32 layernorm/softmax accumulation; the MXU
+  natively consumes bf16.
+- **KV cache decode**: `decode_step` consumes/updates [L, B, H, T, dh]
+  caches via dynamic_update_slice; cross-attention K/V is precomputed once
+  per segment (`precompute_cross_kv`).
+- Encoder self-attention (1500 ctx) can route to the Pallas flash kernel
+  (ops/attention.py) via ``use_flash``.
+
+Architecture follows OpenAI Whisper (conv1 s1 + conv2 s2 -> sinusoidal pos
+-> pre-LN transformer; decoder with learned positions, causal self-attn,
+cross-attn, tied output embedding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    name: str = "tiny"
+    n_mels: int = 80
+    n_vocab: int = 51865
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+    num_languages: int = 99
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+    def with_dtype(self, dtype) -> "WhisperConfig":
+        return dataclasses.replace(self, dtype=dtype)
+
+
+def _cfg(name, d, h, l_enc, l_dec=None, n_mels=80, n_vocab=51865, langs=99):
+    return WhisperConfig(
+        name=name, n_mels=n_mels, n_vocab=n_vocab,
+        n_audio_state=d, n_audio_head=h, n_audio_layer=l_enc,
+        n_text_state=d, n_text_head=h,
+        n_text_layer=l_dec if l_dec is not None else l_enc,
+        num_languages=langs)
+
+
+# Model menu mirrors the reference's WHISPER_MODEL options
+# (.env.example:9: tiny/base/small/medium/large-v3; default large-v3).
+MODEL_CONFIGS: Dict[str, WhisperConfig] = {
+    "tiny": _cfg("tiny", 384, 6, 4),
+    "base": _cfg("base", 512, 8, 6),
+    "small": _cfg("small", 768, 12, 12),
+    "medium": _cfg("medium", 1024, 16, 24),
+    "large-v1": _cfg("large-v1", 1280, 20, 32),
+    "large-v2": _cfg("large-v2", 1280, 20, 32),
+    "large-v3": _cfg("large-v3", 1280, 20, 32, n_mels=128,
+                     n_vocab=51866, langs=100),
+    "large-v3-turbo": _cfg("large-v3-turbo", 1280, 20, 32, l_dec=4,
+                           n_mels=128, n_vocab=51866, langs=100),
+    # Tiny synthetic config for unit tests / CI (256-byte test tokenizer).
+    "test": WhisperConfig(name="test", n_mels=80, n_vocab=2000,
+                          n_audio_ctx=60, n_audio_state=64, n_audio_head=2,
+                          n_audio_layer=2, n_text_ctx=32, n_text_state=64,
+                          n_text_head=2, n_text_layer=2, num_languages=100,
+                          dtype=jnp.float32),
+}
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Fixed sinusoidal encoder positions (OpenAI layout: [sin | cos])."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(10000) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment
+                            * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)],
+                          axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Parameter init (random weights; real checkpoints come from convert/from_hf)
+# ---------------------------------------------------------------------------
+
+def _dense_init(key, d_in, d_out, dtype):
+    scale = 1.0 / math.sqrt(d_in)
+    return (jax.random.normal(key, (d_in, d_out)) * scale).astype(dtype)
+
+
+def _attn_init(key, d, dtype, prefix=""):
+    ks = jax.random.split(key, 4)
+    return {
+        "q_w": _dense_init(ks[0], d, d, dtype), "q_b": jnp.zeros(d, dtype),
+        "k_w": _dense_init(ks[1], d, d, dtype),            # no k bias
+        "v_w": _dense_init(ks[2], d, d, dtype), "v_b": jnp.zeros(d, dtype),
+        "o_w": _dense_init(ks[3], d, d, dtype), "o_b": jnp.zeros(d, dtype),
+    }
+
+
+def _ln_init(d, dtype):
+    return {"g": jnp.ones(d, dtype), "b": jnp.zeros(d, dtype)}
+
+
+def _block_init(key, d, dtype, cross: bool):
+    ks = jax.random.split(key, 4)
+    blk = {
+        "ln1": _ln_init(d, dtype),
+        "attn": _attn_init(ks[0], d, dtype),
+        "ln2": _ln_init(d, dtype),
+        "mlp": {
+            "fc1_w": _dense_init(ks[1], d, 4 * d, dtype),
+            "fc1_b": jnp.zeros(4 * d, dtype),
+            "fc2_w": _dense_init(ks[2], 4 * d, d, dtype),
+            "fc2_b": jnp.zeros(d, dtype),
+        },
+    }
+    if cross:
+        blk["lnx"] = _ln_init(d, dtype)
+        blk["xattn"] = _attn_init(ks[3], d, dtype)
+    return blk
+
+
+def _stack_blocks(keys, d, dtype, cross):
+    blocks = [_block_init(k, d, dtype, cross) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_params(key, cfg: WhisperConfig) -> Params:
+    """Random-weight model (tests & synthetic benchmarks)."""
+    dtype = cfg.dtype
+    d = cfg.n_audio_state
+    k_enc, k_dec, k_conv1, k_conv2, k_tok, k_pos = jax.random.split(key, 6)
+    enc_keys = jax.random.split(k_enc, cfg.n_audio_layer)
+    dec_keys = jax.random.split(k_dec, cfg.n_text_layer)
+    conv_scale = 1.0 / math.sqrt(3 * cfg.n_mels)
+    return {
+        "encoder": {
+            "pos": jnp.asarray(sinusoids(cfg.n_audio_ctx, d), dtype),
+            "conv1_w": (jax.random.normal(k_conv1, (3, cfg.n_mels, d))
+                        * conv_scale).astype(dtype),
+            "conv1_b": jnp.zeros(d, dtype),
+            "conv2_w": (jax.random.normal(k_conv2, (3, d, d))
+                        * (1.0 / math.sqrt(3 * d))).astype(dtype),
+            "conv2_b": jnp.zeros(d, dtype),
+            "blocks": _stack_blocks(enc_keys, d, dtype, cross=False),
+            "ln_post": _ln_init(d, dtype),
+        },
+        "decoder": {
+            "tok_emb": (jax.random.normal(k_tok, (cfg.n_vocab, d))
+                        * 0.02).astype(dtype),
+            "pos_emb": (jax.random.normal(k_pos, (cfg.n_text_ctx, d))
+                        * 0.02).astype(dtype),
+            "blocks": _stack_blocks(dec_keys, d, dtype, cross=True),
+            "ln": _ln_init(d, dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward pieces
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, ln):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (y * ln["g"].astype(jnp.float32)
+            + ln["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _split_heads(x, n_head):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _qkv(x, attn, xa=None):
+    """Project q from x and k,v from xa (or x for self-attention)."""
+    src = x if xa is None else xa
+    q = x @ attn["q_w"] + attn["q_b"]
+    k = src @ attn["k_w"]
+    v = src @ attn["v_w"] + attn["v_b"]
+    return q, k, v
+
+
+def _sdpa(q, k, v, n_head, mask=None, use_flash=False):
+    """Scaled dot-product attention over [B, T, D] projections."""
+    qh = _split_heads(q, n_head)
+    kh = _split_heads(k, n_head)
+    vh = _split_heads(v, n_head)
+    if use_flash and mask is None:
+        from ..ops.attention import flash_attention
+        out = flash_attention(qh, kh, vh)
+        return _merge_heads(out)
+    dh = qh.shape[-1]
+    scale = dh ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(qh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return _merge_heads(out)
+
+
+def _mlp(x, mlp):
+    h = x @ mlp["fc1_w"] + mlp["fc1_b"]
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ mlp["fc2_w"] + mlp["fc2_b"]
+
+
+# -- encoder -----------------------------------------------------------------
+
+def _conv1d(x, w, b, stride):
+    """x [B, T, C_in], w [K, C_in, C_out] -> [B, T/stride, C_out], SAME pad."""
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=((1, 1),),
+        dimension_numbers=("NTC", "TIO", "NTC"),
+        preferred_element_type=jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_flash"))
+def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
+           use_flash: bool = False) -> jnp.ndarray:
+    """mel [B, n_mels, T_frames] -> audio states [B, T_frames//2, d]."""
+    enc = params["encoder"]
+    x = mel.astype(cfg.dtype).transpose(0, 2, 1)          # [B, T, n_mels]
+    x = jax.nn.gelu(_conv1d(x, enc["conv1_w"], enc["conv1_b"], 1),
+                    approximate=False)
+    x = jax.nn.gelu(_conv1d(x, enc["conv2_w"], enc["conv2_b"], 2),
+                    approximate=False)                    # [B, T/2, d]
+    x = x + enc["pos"][: x.shape[1]].astype(cfg.dtype)
+
+    n_head = cfg.n_audio_head
+
+    def block_fn(carry, blk):
+        h = carry
+        a_in = _layer_norm(h, blk["ln1"])
+        q, k, v = _qkv(a_in, blk["attn"])
+        h = h + (_sdpa(q, k, v, n_head, use_flash=use_flash)
+                 @ blk["attn"]["o_w"] + blk["attn"]["o_b"])
+        m_in = _layer_norm(h, blk["ln2"])
+        h = h + _mlp(m_in, blk["mlp"])
+        return h, None
+
+    x, _ = jax.lax.scan(block_fn, x, enc["blocks"])
+    return _layer_norm(x, enc["ln_post"])
+
+
+# -- decoder -----------------------------------------------------------------
+
+def precompute_cross_kv(params: Params, xa: jnp.ndarray,
+                        cfg: WhisperConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention K/V for all layers from encoder output xa [B, Ta, d].
+
+    Returns (k, v) of shape [L, B, H, Ta, dh]; computed once per segment,
+    reused by every decode step.
+    """
+    n_head = cfg.n_text_head
+
+    def layer_kv(_, blk):
+        k = _split_heads(xa @ blk["xattn"]["k_w"], n_head)
+        v = _split_heads(xa @ blk["xattn"]["v_w"] + blk["xattn"]["v_b"],
+                         n_head)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(layer_kv, None, params["decoder"]["blocks"])
+    return ks, vs
+
+
+def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Self-attention KV cache [L, B, H, max_len, dh] (zeros)."""
+    max_len = max_len or cfg.n_text_ctx
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head, max_len,
+             cfg.n_text_state // cfg.n_text_head)
+    return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
+
+
+def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, x_k, x_v):
+    """One decoder block given explicit self-attn K/V and cross K/V."""
+    a_in = _layer_norm(h, blk["ln1"])
+    q = _split_heads(a_in @ blk["attn"]["q_w"] + blk["attn"]["q_b"], n_head)
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, self_k,
+                        preferred_element_type=jnp.float32) * dh ** -0.5
+    if self_mask is not None:
+        scores = scores + self_mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    attn_out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, self_v))
+    h = h + (attn_out @ blk["attn"]["o_w"] + blk["attn"]["o_b"])
+
+    x_in = _layer_norm(h, blk["lnx"])
+    xq = _split_heads(x_in @ blk["xattn"]["q_w"] + blk["xattn"]["q_b"],
+                      n_head)
+    xscores = jnp.einsum("bhqd,bhkd->bhqk", xq, x_k,
+                         preferred_element_type=jnp.float32) * dh ** -0.5
+    xprobs = jax.nn.softmax(xscores, axis=-1).astype(xq.dtype)
+    xout = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", xprobs, x_v))
+    h = h + (xout @ blk["xattn"]["o_w"] + blk["xattn"]["o_b"])
+
+    m_in = _layer_norm(h, blk["ln2"])
+    h = h + _mlp(m_in, blk["mlp"])
+    return h
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
+                    cfg: WhisperConfig, pos_offset: int = 0,
+                    kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Teacher-forced / prefill decoder pass.
+
+    tokens [B, T] -> logits [B, T, n_vocab].  If ``kv_cache`` given (shape
+    [L, B, H, max_len, dh]), writes K/V at positions
+    [pos_offset, pos_offset+T) and attends over the full prefix; returns the
+    updated cache for the decode loop to continue from.
+    """
+    dec = params["decoder"]
+    n_head = cfg.n_text_head
+    b, t = tokens.shape
+
+    pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, t, axis=0)
+    x = (dec["tok_emb"][tokens] + pos).astype(cfg.dtype)
+
+    x_k, x_v = precompute_cross_kv(params, xa, cfg)
+
+    if kv_cache is None:
+        cache_k, cache_v = init_kv_cache(cfg, b, max_len=t)
+        max_len = t
+    else:
+        cache_k, cache_v = kv_cache
+        max_len = cache_k.shape[3]
+
+    # causal mask over cache positions: query i (abs pos_offset+i) sees
+    # cache slots <= pos_offset+i
+    q_pos = pos_offset + jnp.arange(t)[:, None]
+    k_pos = jnp.arange(max_len)[None, :]
+    mask = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    def block_fn(carry, scanned):
+        h = carry
+        blk, ck, cv, xk, xv = scanned
+        a_in = _layer_norm(h, blk["ln1"])
+        new_k = _split_heads(a_in @ blk["attn"]["k_w"], n_head)
+        new_v = _split_heads(a_in @ blk["attn"]["v_w"] + blk["attn"]["v_b"],
+                             n_head)
+        ck = jax.lax.dynamic_update_slice(
+            ck, new_k.astype(ck.dtype), (0, 0, pos_offset, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, new_v.astype(cv.dtype), (0, 0, pos_offset, 0))
+        h = _decoder_block(h, blk, n_head, ck, cv, mask, xk, xv)
+        return h, (ck, cv)
+
+    x, (new_ck, new_cv) = jax.lax.scan(
+        block_fn, x, (dec["blocks"], cache_k, cache_v, x_k, x_v))
+
+    x = _layer_norm(x, dec["ln"])
+    logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
+                        dec["tok_emb"].astype(jnp.float32))
+    return logits, (new_ck, new_cv)
+
+
+def decode_step(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
+                kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
+                cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+                cfg: WhisperConfig,
+                ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Single decode step (not jitted: called inside the decode loop's scan).
+
+    token [B] int32, pos scalar int32 -> (logits [B, n_vocab], new cache).
+    """
+    dec = params["decoder"]
+    n_head = cfg.n_text_head
+    cache_k, cache_v = kv_cache
+    x_k, x_v = cross_kv
+    max_len = cache_k.shape[3]
+
+    x = dec["tok_emb"][token] + jax.lax.dynamic_index_in_dim(
+        dec["pos_emb"], pos, axis=0, keepdims=False)
+    x = x[:, None, :].astype(cfg.dtype)                    # [B, 1, d]
+
+    # valid cache slots: <= pos
+    mask = jnp.where(jnp.arange(max_len)[None, :] <= pos,
+                     0.0, -jnp.inf).astype(jnp.float32)
+
+    def block_fn(carry, scanned):
+        h = carry
+        blk, ck, cv, xk, xv = scanned
+        a_in = _layer_norm(h, blk["ln1"])
+        new_k = _split_heads(a_in @ blk["attn"]["k_w"], n_head)
+        new_v = _split_heads(a_in @ blk["attn"]["v_w"] + blk["attn"]["v_b"],
+                             n_head)
+        ck = jax.lax.dynamic_update_slice(
+            ck, new_k.astype(ck.dtype), (0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, new_v.astype(cv.dtype), (0, 0, pos, 0))
+        h = _decoder_block(h, blk, n_head, ck, cv, mask, xk, xv)
+        return h, (ck, cv)
+
+    x, (new_ck, new_cv) = jax.lax.scan(
+        block_fn, x, (dec["blocks"], cache_k, cache_v, x_k, x_v))
+
+    x = _layer_norm(x, dec["ln"])[:, 0, :]
+    logits = jnp.einsum("bd,vd->bv", x.astype(jnp.float32),
+                        dec["tok_emb"].astype(jnp.float32))
+    return logits, (new_ck, new_cv)

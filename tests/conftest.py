@@ -1,17 +1,15 @@
-"""Test config: run JAX on a virtual 8-device CPU mesh (no TPU needed).
+"""Test config: JAX on CPU (no TPU needed).
 
-Mirrors SURVEY.md §4's plan: sharding/pjit tests run against
-``--xla_force_host_platform_device_count=8`` so CI needs no hardware.
-Must run before jax is imported anywhere.
+Sharding/pjit tests run in a *subprocess* with
+``--xla_force_host_platform_device_count=8`` (see test_parallel.py) rather
+than forcing 8 virtual devices globally: on this 1-core host the 8-device
+CPU backend makes every XLA compile ~13x slower, which would dominate the
+whole suite.  Must run before jax is imported anywhere.
 """
 
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import pytest  # noqa: E402
 
