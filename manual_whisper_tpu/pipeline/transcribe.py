@@ -1,0 +1,247 @@
+"""End-to-end transcription pipeline (the TPU ``model.transcribe``).
+
+Orchestrates what the reference delegates to whisperx
+(load_model -> load_audio -> VAD -> batched encode/decode,
+reference: transcribe.py:98-125): VAD segmentation, 30 s chunk merging,
+static-shape batching, fused log-mel, encoder forward, KV-cache batched
+decode with temperature fallback, per-chunk segment assembly.
+
+Keeps the whisperx-like surface so the CLI reads the same:
+``load_model(size, ...); model.transcribe(audio, batch_size, language)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..audio import load_audio
+from ..models import MODEL_CONFIGS, WhisperConfig, encode, init_params
+from ..models.decode import BatchDecoder, DecodingOptions
+from ..models.vad import VadOptions, VoiceActivityDetector
+from ..ops.mel import log_mel_spectrogram
+from ..tokenizer import WhisperTokenizer, make_test_tokenizer
+from .chunking import (CHUNK_LENGTH_SEC, N_SAMPLES, SpeechChunk,
+                       batch_chunks, merge_chunks)
+
+ProgressFn = Callable[[float, str], None]
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@dataclasses.dataclass
+class TranscribeResult:
+    segments: List[dict]
+    language: str
+
+    def as_dict(self) -> dict:
+        return {"segments": self.segments, "language": self.language}
+
+
+class TranscribePipeline:
+    """Loaded model + tokenizer + VAD, ready to transcribe."""
+
+    def __init__(self, params, cfg: WhisperConfig,
+                 tokenizer: WhisperTokenizer,
+                 vad: Optional[VoiceActivityDetector] = None,
+                 asr_options: Optional[dict] = None,
+                 vad_options: Optional[VadOptions] = None,
+                 language: Optional[str] = None):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.vad = vad or VoiceActivityDetector()
+        self.vad_options = vad_options or VadOptions()
+        self.language = language
+        self.asr_options = asr_options or {}
+        self._decoders: Dict[tuple, BatchDecoder] = {}
+        # model window: 2 encoder frames per mel frame, 160 samples per mel
+        # frame (30 s for real checkpoints; smaller for the test config)
+        self.window_samples = cfg.n_audio_ctx * 2 * 160
+        self.window_sec = self.window_samples / 16000.0
+
+    # -- helpers ------------------------------------------------------------
+    def _decoder(self, language: str, temperature) -> BatchDecoder:
+        temps = (tuple(temperature) if isinstance(temperature, (list, tuple))
+                 else ((0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if temperature == 0
+                       else (float(temperature),)))
+        key = (language, temps, self.asr_options.get("initial_prompt"))
+        if key not in self._decoders:
+            opts = DecodingOptions(
+                language=language,
+                temperatures=temps,
+                initial_prompt=self.asr_options.get("initial_prompt"),
+                max_new_tokens=self.asr_options.get("max_new_tokens", 224),
+            )
+            self._decoders[key] = BatchDecoder(
+                self.params, self.cfg, self.tokenizer, opts)
+        return self._decoders[key]
+
+    def _features(self, windows: np.ndarray) -> jnp.ndarray:
+        """[B, window] -> [B, n_mels, frames]; fused Pallas kernel on TPU,
+        XLA path elsewhere."""
+        from ..ops.mel_pallas import FRAME_BLOCK
+        n_frames = windows.shape[-1] // 160
+        use_pallas = _on_tpu() and n_frames % FRAME_BLOCK == 0
+        return log_mel_spectrogram(windows, n_mels=self.cfg.n_mels,
+                                   use_pallas=use_pallas)
+
+    # -- public API ----------------------------------------------------------
+    def detect_language(self, audio: np.ndarray) -> str:
+        """Single-window language ID (softmax over language tokens after
+        SOT), the LANGUAGE='' auto mode of the web tier
+        (web/.env.example:49)."""
+        window = np.zeros(self.window_samples, np.float32)
+        clip = audio[: self.window_samples]
+        window[: len(clip)] = clip
+        mel = self._features(window[None])
+        xa = encode(self.params, mel, self.cfg, use_flash=_on_tpu())
+        from ..models import decoder_forward
+        sot = jnp.asarray([[self.tokenizer.special.sot]], jnp.int32)
+        logits, _ = decoder_forward(self.params, sot, xa, self.cfg)
+        lang_logits = logits[0, 0, self.tokenizer.special.lang_base:
+                             self.tokenizer.special.lang_base
+                             + self.tokenizer.num_languages]
+        idx = int(jnp.argmax(lang_logits))
+        return self.tokenizer.language_from_token(
+            self.tokenizer.special.lang_base + idx)
+
+    def transcribe(self, audio: Union[str, np.ndarray],
+                   batch_size: int = 8,
+                   language: Optional[str] = None,
+                   chunk_size: Optional[float] = None,
+                   temperature=0.0,
+                   progress_callback: Optional[ProgressFn] = None,
+                   verbose: bool = False) -> dict:
+        """Full pipeline; returns {"segments": [...], "language": lang}
+        with the segment dict shape the reference consumes
+        ({text, start, end}, transcribe.py:162-181)."""
+        if isinstance(audio, (str, Path)):
+            audio = load_audio(audio)
+        audio = np.asarray(audio, np.float32)
+
+        def report(pct, msg):
+            if progress_callback:
+                progress_callback(pct, msg)
+            if verbose:
+                print(f"[{pct:3.0f}%] {msg}")
+
+        chunk_size = min(chunk_size or self.window_sec, self.window_sec)
+
+        report(0.0, "voice activity detection")
+        regions = self.vad(audio, self.vad_options)
+        chunks = merge_chunks(regions, chunk_size)
+        if not chunks:
+            report(100.0, "no speech detected")
+            return {"segments": [],
+                    "language": language or self.language or "zh"}
+
+        lang = language or self.language
+        if not lang:
+            lang = self.detect_language(audio)
+            report(5.0, f"detected language: {lang}")
+
+        decoder = self._decoder(lang, temperature)
+        batches = batch_chunks(audio, chunks, batch_size,
+                               window_samples=self.window_samples)
+        segments: List[dict] = []
+        t0 = time.time()
+        for bi, (windows, group) in enumerate(batches):
+            mel = self._features(windows)
+            xa = encode(self.params, mel, self.cfg, use_flash=_on_tpu())
+            results = decoder.decode_with_fallback(xa)
+            for ch, res in zip(group, results):
+                if decoder.is_no_speech(res):
+                    continue
+                text = res.text
+                if not text:
+                    continue
+                segments.append({
+                    "text": text,
+                    "start": round(ch.start, 3),
+                    "end": round(ch.end, 3),
+                    "avg_logprob": res.avg_logprob,
+                    "no_speech_prob": res.no_speech_prob,
+                    "compression_ratio": res.compression_ratio,
+                    "temperature": res.temperature,
+                })
+            pct = 5.0 + 95.0 * (bi + 1) / len(batches)
+            report(pct, f"transcribed batch {bi + 1}/{len(batches)} "
+                        f"({time.time() - t0:.1f}s)")
+        return {"segments": segments, "language": lang}
+
+
+def _find_weights_dir(name: str) -> Optional[Path]:
+    """Converted/HF checkpoint discovery: $MWX_WEIGHTS_DIR/<name>.
+
+    The reference's equivalent is the HF hub cache that
+    whisperx.load_model populates (README.md:94-95)."""
+    root = config.get_env("MWX_WEIGHTS_DIR")
+    if root:
+        cand = Path(root) / name
+        if (cand / "config.json").exists():
+            return cand
+    if (Path(name) / "config.json").exists():
+        return Path(name)
+    return None
+
+
+def load_model(name: str = "large-v3",
+               device: Optional[str] = None,
+               compute_type: str = "bfloat16",
+               language: Optional[str] = None,
+               asr_options: Optional[dict] = None,
+               vad_options: Optional[dict] = None,
+               ) -> TranscribePipeline:
+    """whisperx.load_model-compatible entry (reference: transcribe.py:107-113).
+
+    ``device`` is accepted for surface compatibility and ignored — JAX
+    places computation on the available TPU/CPU.  ``compute_type`` maps
+    int8/float16/bfloat16/float32 onto JAX dtypes (int8 weight quantisation
+    reuses bf16 compute until the quantised matmul path lands).
+    """
+    dtype = {"int8": jnp.bfloat16, "float16": jnp.bfloat16,
+             "bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             }.get(compute_type, jnp.bfloat16)
+
+    weights_dir = _find_weights_dir(name)
+    if weights_dir is not None:
+        from ..convert import load_whisper_checkpoint
+        params, cfg = load_whisper_checkpoint(weights_dir, dtype=dtype)
+        tok_dir = weights_dir
+        if (tok_dir / "vocab.json").exists():
+            tokenizer = WhisperTokenizer.from_dir(
+                tok_dir, num_languages=cfg.num_languages,
+                language=language or "zh")
+        else:
+            tokenizer = make_test_tokenizer(cfg.num_languages)
+    elif name in MODEL_CONFIGS:
+        if name != "test" and not config.get_bool(
+                "MWX_ALLOW_RANDOM_WEIGHTS", False):
+            raise FileNotFoundError(
+                f"no weights found for {name!r}: set MWX_WEIGHTS_DIR to a "
+                "directory containing an HF Whisper checkpoint "
+                f"('{name}/config.json' + model.safetensors), or set "
+                "MWX_ALLOW_RANDOM_WEIGHTS=1 for synthetic-weight runs")
+        cfg = MODEL_CONFIGS[name].with_dtype(dtype)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        tokenizer = make_test_tokenizer(cfg.num_languages)
+    else:
+        raise KeyError(f"unknown model {name!r}; options: "
+                       f"{sorted(MODEL_CONFIGS)} or a checkpoint path")
+
+    vad_opts = VadOptions(**vad_options) if vad_options else VadOptions()
+    return TranscribePipeline(params, cfg, tokenizer,
+                              asr_options=asr_options,
+                              vad_options=vad_opts,
+                              language=language)

@@ -1,15 +1,19 @@
-"""Test config: JAX on CPU (no TPU needed).
+"""Test config: force JAX onto CPU (tests must not grab the shared TPU).
+
+This environment boots an `axon` TPU plugin from sitecustomize and pins
+``JAX_PLATFORMS=axon`` in the process env, so the env-var route cannot be
+overridden from here — ``jax.config.update`` after import can.
 
 Sharding/pjit tests run in a *subprocess* with
 ``--xla_force_host_platform_device_count=8`` (see test_parallel.py) rather
 than forcing 8 virtual devices globally: on this 1-core host the 8-device
 CPU backend makes every XLA compile ~13x slower, which would dominate the
-whole suite.  Must run before jax is imported anywhere.
+whole suite.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

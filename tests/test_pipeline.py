@@ -1,0 +1,102 @@
+"""Pipeline integration tests (SURVEY.md §4: synthetic WAVs through
+VAD->ASR with a tiny model on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+from manual_whisper_tpu.pipeline import load_model, merge_chunks
+from manual_whisper_tpu.pipeline.chunking import (SpeechChunk, batch_chunks,
+                                                  pad_audio_window)
+
+SR = 16000
+
+
+def test_merge_chunks_respects_limit():
+    regions = [(0.0, 10.0), (12.0, 25.0), (26.0, 29.0), (40.0, 45.0)]
+    chunks = merge_chunks(regions, chunk_size=30.0)
+    assert all(c.duration <= 30.0 + 1e-9 for c in chunks)
+    # first three regions fit one window; the last starts a new one
+    assert len(chunks) == 2
+    assert chunks[0].regions == [(0.0, 10.0), (12.0, 25.0), (26.0, 29.0)]
+    assert chunks[1].start == 40.0
+
+
+def test_merge_chunks_splits_long_regions():
+    chunks = merge_chunks([(0.0, 75.0)], chunk_size=30.0)
+    assert [round(c.duration, 3) for c in chunks] == [30.0, 30.0, 15.0]
+    assert chunks[0].start == 0.0 and chunks[2].end == 75.0
+
+
+def test_merge_chunks_empty():
+    assert merge_chunks([], 30.0) == []
+
+
+def test_pad_audio_window():
+    audio = np.arange(SR * 2, dtype=np.float32)
+    win = pad_audio_window(audio, 0.5, 1.0, window_samples=SR)
+    assert win.shape == (SR,)
+    assert win[0] == audio[SR // 2]
+    assert (win[SR // 2:] == 0).all()  # zero pad past the 0.5s clip
+
+
+def test_batch_chunks_static_shapes():
+    audio = np.ones(SR * 10, np.float32)
+    chunks = [SpeechChunk(float(i), float(i) + 0.5, [(float(i), float(i) + .5)])
+              for i in range(5)]
+    batches = batch_chunks(audio, chunks, batch_size=2, window_samples=SR)
+    assert len(batches) == 3
+    for arr, group in batches:
+        assert arr.shape == (2, SR)          # padded to batch_size
+    assert len(batches[-1][1]) == 1           # final partial group
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    return load_model("test", language="zh")
+
+
+def _speech_audio(seconds=4.0):
+    rng = np.random.default_rng(0)
+    t = np.arange(int(SR * seconds)) / SR
+    x = 0.002 * rng.standard_normal(len(t)).astype(np.float32)
+    mask = (t % 2.0) < 1.2   # speech bursts every 2s
+    x[mask] += (0.4 * np.sin(2 * np.pi * 240 * t[mask])).astype(np.float32)
+    return x
+
+
+def test_transcribe_end_to_end_contract(tiny_pipeline):
+    progress = []
+    result = tiny_pipeline.transcribe(
+        _speech_audio(), batch_size=2, language="zh",
+        progress_callback=lambda pct, msg: progress.append((pct, msg)))
+    assert set(result.keys()) == {"segments", "language"}
+    assert result["language"] == "zh"
+    for seg in result["segments"]:
+        assert set(seg) >= {"text", "start", "end"}
+        assert 0 <= seg["start"] < seg["end"] <= 4.0 + 1e-6
+    # progress is monotone and reaches 100
+    pcts = [p for p, _ in progress]
+    assert pcts == sorted(pcts) and pcts[-1] == 100.0
+
+
+def test_transcribe_silence_returns_empty(tiny_pipeline):
+    result = tiny_pipeline.transcribe(
+        np.zeros(SR * 2, np.float32), batch_size=2, language="zh")
+    assert result["segments"] == []
+
+
+def test_detect_language_runs(tiny_pipeline):
+    lang = tiny_pipeline.detect_language(_speech_audio(2.0))
+    assert isinstance(lang, str) and len(lang) >= 2
+
+
+def test_load_model_guards_random_weights(monkeypatch):
+    monkeypatch.delenv("MWX_ALLOW_RANDOM_WEIGHTS", raising=False)
+    monkeypatch.delenv("MWX_WEIGHTS_DIR", raising=False)
+    with pytest.raises(FileNotFoundError):
+        load_model("large-v3")
+    with pytest.raises(KeyError):
+        load_model("nonexistent-model")
+    monkeypatch.setenv("MWX_ALLOW_RANDOM_WEIGHTS", "1")
+    pipe = load_model("tiny", language="zh")
+    assert pipe.cfg.name == "tiny"

@@ -1,0 +1,112 @@
+"""VAD tests: energy VAD, hysteresis binarisation, PyanNet shapes/powerset.
+
+Reference behavior being matched: onset/offset hysteresis with the
+vad_onset/vad_offset knobs (transcribe.py:43-46)."""
+
+import numpy as np
+
+import jax
+
+from manual_whisper_tpu.models.vad import (
+    PyanNetConfig, VadOptions, VoiceActivityDetector, binarize,
+    energy_vad_probs, init_pyannet_params, powerset_to_speaker_probs,
+    powerset_to_speech_prob, pyannet_forward, sinc_filters)
+
+SR = 16000
+
+
+def _speech_like(seconds, seed=0):
+    """Tone bursts separated by silence: [0.5-2.0]s and [3.0-4.5]s speech."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(SR * seconds)) / SR
+    x = 0.002 * rng.standard_normal(len(t)).astype(np.float32)
+    for s, e in [(0.5, 2.0), (3.0, 4.5)]:
+        seg = (t >= s) & (t < e)
+        x[seg] += (0.5 * np.sin(2 * np.pi * 220 * t[seg])
+                   * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t[seg]))
+                   ).astype(np.float32)
+    return x
+
+
+def test_energy_vad_finds_speech_regions():
+    audio = _speech_like(6.0)
+    vad = VoiceActivityDetector()
+    regions = vad(audio, VadOptions(vad_onset=0.5, vad_offset=0.363))
+    assert len(regions) >= 2
+    # both bursts covered
+    def covered(t):
+        return any(s <= t <= e for s, e in regions)
+    assert covered(1.0) and covered(3.7)
+    assert not covered(2.6)  # silence gap
+
+
+def test_binarize_hysteresis():
+    probs = np.array([0.1, 0.6, 0.45, 0.4, 0.3, 0.1, 0.7, 0.2], np.float32)
+    # onset 0.5: triggers at idx1; offset 0.363: releases at idx4 (0.3)
+    regions = binarize(probs, 1.0, VadOptions(vad_onset=0.5,
+                                              vad_offset=0.363))
+    assert regions == [(1.0, 4.0), (6.0, 7.0)]
+
+
+def test_binarize_min_durations():
+    probs = np.array([0.9, 0.1, 0.9, 0.9, 0.1, 0.1, 0.9] + [0.1] * 3,
+                     np.float32)
+    opts = VadOptions(vad_onset=0.5, vad_offset=0.363,
+                      min_duration_off=1.5, min_duration_on=2.0)
+    regions = binarize(probs, 1.0, opts)
+    # gap at idx1 (1s < 1.5) is filled; region [6,7) is 1s < 2.0 -> dropped
+    assert regions == [(0.0, 4.0)]
+
+
+def test_binarize_active_at_end():
+    probs = np.array([0.9, 0.9, 0.9], np.float32)
+    assert binarize(probs, 0.5, VadOptions()) == [(0.0, 1.5)]
+
+
+def test_sinc_filters_shape_and_bandpass():
+    low = np.linspace(500, 4000, 8).reshape(-1, 1)
+    band = np.full((8, 1), 200.0)
+    filt = np.asarray(sinc_filters(low, band, kernel=251))
+    assert filt.shape == (251, 1, 8)
+    # band-pass: near-zero DC response for mid-band filters (very low
+    # cutoffs can't be resolved by a 251-tap kernel)
+    dc = np.abs(filt.sum(axis=0)).max()
+    assert dc < 0.1
+    # passband response dominates: evaluate at each filter's center freq
+    t = (np.arange(251) - 125) / SR
+    for i in range(8):
+        probe = np.cos(2 * np.pi * (low[i, 0] + 150) * t)
+        response = np.abs((filt[:, 0, i] * probe).sum())
+        assert response > 10 * dc
+
+
+def test_pyannet_forward_shapes_and_powerset():
+    cfg = PyanNetConfig(window_sec=2.0)
+    params = init_pyannet_params(jax.random.PRNGKey(0), cfg)
+    audio = np.random.default_rng(0).standard_normal(
+        (2, int(cfg.window_sec * SR))).astype(np.float32) * 0.1
+    log_probs = np.asarray(pyannet_forward(params, audio, cfg))
+    assert log_probs.ndim == 3 and log_probs.shape[0] == 2
+    assert log_probs.shape[2] == 7
+    probs = np.exp(log_probs)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    speech = np.asarray(powerset_to_speech_prob(log_probs))
+    assert ((speech >= 0) & (speech <= 1)).all()
+    spk = powerset_to_speaker_probs(log_probs)
+    assert spk.shape == log_probs.shape[:2] + (3,)
+    # P(any speech) <= sum of speaker marginals
+    assert (speech <= spk.sum(-1) + 1e-5).all()
+
+
+def test_pyannet_vad_end_to_end_runs():
+    cfg = PyanNetConfig(window_sec=2.0)
+    params = init_pyannet_params(jax.random.PRNGKey(1), cfg)
+    vad = VoiceActivityDetector(params, cfg)
+    audio = _speech_like(5.0)
+    probs, frame_dur = vad.speech_probs(audio)
+    assert probs.ndim == 1 and 0 < frame_dur < 0.1
+    # random weights: just exercise binarization plumbing
+    regions = vad(audio, VadOptions())
+    for s, e in regions:
+        assert 0 <= s < e <= 5.0 + 1e-6
