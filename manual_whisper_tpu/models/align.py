@@ -1,0 +1,301 @@
+"""wav2vec2-CTC forced alignment -> word-level timestamps.
+
+Replaces ``whisperx.load_align_model`` / ``whisperx.align``
+(reference: transcribe.py:130-131; align failure falls back to segment
+timestamps, notebook cell 2).  Flow per Whisper segment:
+
+1. run the JAX wav2vec2 CTC model (models/wav2vec2.py) on the segment's
+   audio (TPU matmul work);
+2. Viterbi-align the segment text to the CTC log-probs with the classic
+   blank-interleaved trellis (host numpy — tiny: <=1500 frames x states);
+3. map aligned char spans to seconds and group into words (per-char for
+   zh-style scripts, whitespace groups otherwise).
+
+Output schema matches whisperx: segments gain ``words``
+[{word, start, end, score}] and a flat ``word_segments`` list is returned,
+which downstream speaker assignment consumes (transcribe.py:145,
+processor.js:126).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import config
+from ..audio import SAMPLE_RATE
+from .wav2vec2 import (Wav2Vec2Config, convert_wav2vec2_state_dict,
+                       frames_for_samples, wav2vec2_logits)
+
+# Language -> HF checkpoint the reference stack uses via whisperx's
+# DEFAULT_ALIGN_MODELS (zh call site: transcribe.py:130).
+DEFAULT_ALIGN_MODELS: Dict[str, str] = {
+    "zh": "jonatasgrosman/wav2vec2-large-xlsr-53-chinese-zh-cn",
+    "en": "facebook/wav2vec2-base-960h",
+    "ja": "jonatasgrosman/wav2vec2-large-xlsr-53-japanese",
+    "fr": "jonatasgrosman/wav2vec2-large-xlsr-53-french",
+    "de": "jonatasgrosman/wav2vec2-large-xlsr-53-german",
+    "es": "jonatasgrosman/wav2vec2-large-xlsr-53-spanish",
+}
+
+# Scripts aligned per character (no whitespace word boundaries).
+CHAR_ALIGNED_LANGUAGES = {"zh", "ja", "ko", "yue", "th", "lo", "my"}
+
+
+@dataclasses.dataclass
+class AlignModel:
+    params: Dict[str, Any]
+    cfg: Wav2Vec2Config
+    vocab: Dict[str, int]        # char -> CTC label id
+    blank_id: int
+    language: str
+
+    @property
+    def frame_duration(self) -> float:
+        return 320.0 / SAMPLE_RATE   # total conv stride
+
+
+def ctc_viterbi_align(log_probs: np.ndarray, targets: List[int],
+                      blank_id: int
+                      ) -> Tuple[List[Tuple[int, int, float]], float]:
+    """Viterbi forced alignment of ``targets`` to CTC ``log_probs`` [T, V].
+
+    Classic blank-interleaved state machine (states = 2N+1).  Returns
+    ([(start_frame, end_frame_exclusive, score) per target], total_logprob).
+    Score is the mean label probability over the token's frames.
+    """
+    T, _ = log_probs.shape
+    N = len(targets)
+    if N == 0 or T == 0:
+        return [], float("-inf")
+
+    S = 2 * N + 1
+    labels = np.empty(S, np.int64)
+    labels[0::2] = blank_id
+    labels[1::2] = targets
+
+    NEG = -1e30
+    delta = np.full((T, S), NEG, np.float64)
+    psi = np.zeros((T, S), np.int8)   # 0: stay, 1: from s-1, 2: from s-2
+
+    delta[0, 0] = log_probs[0, blank_id]
+    delta[0, 1] = log_probs[0, labels[1]]
+
+    same_as_two_back = np.zeros(S, bool)
+    same_as_two_back[2:] = labels[2:] == labels[:-2]
+
+    for t in range(1, T):
+        stay = delta[t - 1]
+        from1 = np.concatenate(([NEG], delta[t - 1, :-1]))
+        from2 = np.concatenate(([NEG, NEG], delta[t - 1, :-2]))
+        # skip transition only into non-blank states with a different label
+        from2 = np.where((np.arange(S) % 2 == 1) & ~same_as_two_back,
+                         from2, NEG)
+        best = np.maximum(np.maximum(stay, from1), from2)
+        psi[t] = np.where(best == from2, 2, np.where(best == from1, 1, 0))
+        delta[t] = best + log_probs[t, labels]
+
+    # end in final blank or final label
+    end_state = S - 1 if delta[T - 1, S - 1] >= delta[T - 1, S - 2] else S - 2
+    total = float(delta[T - 1, end_state])
+
+    # backtrack
+    path = np.empty(T, np.int64)
+    s = end_state
+    for t in range(T - 1, -1, -1):
+        path[t] = s
+        s -= psi[t, s]
+
+    spans: List[Tuple[int, int, float]] = []
+    for j in range(N):
+        state = 2 * j + 1
+        frames = np.nonzero(path == state)[0]
+        if len(frames) == 0:
+            spans.append((-1, -1, 0.0))
+            continue
+        start, end = int(frames[0]), int(frames[-1]) + 1
+        score = float(np.exp(log_probs[frames, labels[state]]).mean())
+        spans.append((start, end, score))
+    return spans, total
+
+
+def _tokenize_chars(text: str, vocab: Dict[str, int]
+                    ) -> Tuple[List[int], List[int]]:
+    """Map characters to CTC labels; returns (label_ids, char_indices).
+    Characters missing from the vocab (punctuation etc.) are skipped and
+    interpolated afterwards, like whisperx."""
+    ids: List[int] = []
+    idx: List[int] = []
+    for i, ch in enumerate(text):
+        key = ch
+        if key == " ":
+            key = "|"
+        cand = vocab.get(key, vocab.get(key.upper(),
+                                        vocab.get(key.lower())))
+        if cand is not None:
+            ids.append(cand)
+            idx.append(i)
+    return ids, idx
+
+
+def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
+          return_char_alignments: bool = False) -> dict:
+    """whisperx.align-compatible: attach word timings to segments.
+
+    ``segments``: [{text, start, end}]; returns {"segments": [...],
+    "word_segments": [...]}.
+    """
+    out_segments: List[dict] = []
+    word_segments: List[dict] = []
+
+    for seg in segments:
+        text = (seg.get("text") or "").strip()
+        s_start = float(seg.get("start", 0.0))
+        s_end = float(seg.get("end", s_start))
+        seg_out = dict(seg)
+        seg_out["words"] = []
+
+        s_idx = int(s_start * SAMPLE_RATE)
+        e_idx = min(int(s_end * SAMPLE_RATE), len(audio))
+        clip = np.asarray(audio[s_idx:e_idx], np.float32)
+        n_frames = frames_for_samples(len(clip))
+        if not text or n_frames < 2:
+            out_segments.append(seg_out)
+            continue
+
+        # wav2vec2 expects zero-mean/unit-variance input
+        norm = (clip - clip.mean()) / np.sqrt(clip.var() + 1e-7)
+        log_probs = np.asarray(
+            wav2vec2_logits(model.params, norm[None], model.cfg)[0],
+            np.float64)[:n_frames]
+
+        labels, char_idx = _tokenize_chars(text, model.vocab)
+        if not labels:
+            out_segments.append(seg_out)
+            continue
+
+        spans, _ = ctc_viterbi_align(log_probs, labels, model.blank_id)
+
+        fd = model.frame_duration
+        char_times: List[Optional[Tuple[float, float, float]]] = \
+            [None] * len(text)
+        for (f0, f1, score), ci in zip(spans, char_idx):
+            if f0 < 0:
+                continue
+            char_times[ci] = (s_start + f0 * fd, s_start + f1 * fd, score)
+
+        words = _group_words(text, char_times, model.language)
+        for w in words:
+            word_segments.append(w)
+        seg_out["words"] = words
+        if words:
+            seg_out["start"] = words[0]["start"]
+            seg_out["end"] = words[-1]["end"]
+        if return_char_alignments:
+            seg_out["chars"] = [
+                {"char": text[i], "start": ct[0], "end": ct[1],
+                 "score": round(ct[2], 3)}
+                for i, ct in enumerate(char_times) if ct is not None]
+        out_segments.append(seg_out)
+
+    return {"segments": out_segments, "word_segments": word_segments}
+
+
+def _group_words(text: str, char_times, language: str) -> List[dict]:
+    """Chars -> word dicts.  Char-aligned scripts: one word per character;
+    otherwise whitespace-delimited groups."""
+    words: List[dict] = []
+
+    def emit(chars: List[int]):
+        timed = [char_times[i] for i in chars if char_times[i] is not None]
+        if not timed:
+            return
+        word = "".join(text[i] for i in chars).strip()
+        if not word:
+            return
+        words.append({
+            "word": word,
+            "start": round(min(t[0] for t in timed), 3),
+            "end": round(max(t[1] for t in timed), 3),
+            "score": round(float(np.mean([t[2] for t in timed])), 3),
+        })
+
+    if language in CHAR_ALIGNED_LANGUAGES:
+        for i, ch in enumerate(text):
+            if not ch.isspace():
+                emit([i])
+    else:
+        current: List[int] = []
+        for i, ch in enumerate(text):
+            if ch.isspace():
+                if current:
+                    emit(current)
+                    current = []
+            else:
+                current.append(i)
+        if current:
+            emit(current)
+    return words
+
+
+def load_align_model(language_code: str, device: Optional[str] = None,
+                     model_name: Optional[str] = None) -> AlignModel:
+    """whisperx.load_align_model surface (transcribe.py:130).
+
+    Looks for an HF wav2vec2 checkpoint under
+    $MWX_WEIGHTS_DIR/<model_name with '/' -> '--'>; raises (caught by the
+    CLI's degradation ladder) when absent.
+    """
+    name = model_name or DEFAULT_ALIGN_MODELS.get(language_code)
+    if name is None:
+        raise KeyError(f"no default alignment model for {language_code!r}")
+    root = config.get_env("MWX_WEIGHTS_DIR")
+    if not root:
+        raise FileNotFoundError(
+            "MWX_WEIGHTS_DIR not set; cannot load alignment model "
+            f"{name!r}")
+    path = Path(root) / name.replace("/", "--")
+    if not (path / "config.json").exists():
+        raise FileNotFoundError(f"alignment checkpoint not found: {path}")
+
+    hf_cfg = json.loads((path / "config.json").read_text())
+    cfg = Wav2Vec2Config(
+        vocab_size=int(hf_cfg["vocab_size"]),
+        hidden=int(hf_cfg["hidden_size"]),
+        n_layers=int(hf_cfg["num_hidden_layers"]),
+        n_heads=int(hf_cfg["num_attention_heads"]),
+        ffn=int(hf_cfg["intermediate_size"]),
+        conv_dim=int(hf_cfg["conv_dim"][-1]),
+        pos_conv_kernel=int(hf_cfg["num_conv_pos_embeddings"]),
+        pos_conv_groups=int(hf_cfg["num_conv_pos_embedding_groups"]),
+    )
+    st = path / "model.safetensors"
+    if st.exists():
+        from safetensors.numpy import load_file
+        sd = load_file(str(st))
+    else:
+        import torch
+        sd = torch.load(str(path / "pytorch_model.bin"),
+                        map_location="cpu", weights_only=True)
+    params = convert_wav2vec2_state_dict(sd, cfg)
+
+    vocab = json.loads((path / "vocab.json").read_text(encoding="utf-8"))
+    blank = vocab.get("<pad>", vocab.get("[PAD]", 0))
+    return AlignModel(params=params, cfg=cfg, vocab=vocab,
+                      blank_id=int(blank), language=language_code)
+
+
+def align_result(result: dict, audio: np.ndarray, language: str,
+                 model: Optional[AlignModel] = None) -> dict:
+    """CLI-facing: align all segments of a transcribe() result in place
+    (reference flow: transcribe.py:130-131)."""
+    model = model or load_align_model(language)
+    aligned = align(result.get("segments", []), model, audio)
+    out = dict(result)
+    out["segments"] = aligned["segments"]
+    out["word_segments"] = aligned["word_segments"]
+    return out

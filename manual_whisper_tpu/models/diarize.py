@@ -1,0 +1,344 @@
+"""Speaker diarization: embeddings + clustering + speaker assignment.
+
+Replaces the pyannote.audio 3.1 pipeline the reference drives through
+``whisperx.diarize.DiarizationPipeline`` and
+``whisperx.assign_word_speakers`` (reference: transcribe.py:142-145; gated
+models .env.example:4-5).  Structure mirrors pyannote 3.1:
+
+1. local speaker activities from the PyanNet segmentation model
+   (models/vad.py) over sliding windows — or VAD regions when no
+   segmentation weights are available;
+2. a speaker-embedding model per active region: ResNet34 with temporal
+   statistics pooling over log-mel features (wespeaker-voxceleb layout) in
+   JAX — or a spectral-statistics fallback embedding for weightless
+   environments;
+3. agglomerative clustering (cosine, average linkage) on host numpy with
+   threshold / num_speakers control;
+4. interval-overlap voting to attach speakers to segments and words
+   (pure Python, matching whisperx.assign_word_speakers semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.mel import unnormalized_log_mel
+from .vad import VadOptions, VoiceActivityDetector
+
+SAMPLE_RATE = 16000
+
+
+# ---------------------------------------------------------------------------
+# Embedding model: ResNet34 + temporal stats pooling (wespeaker layout)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingConfig:
+    n_mels: int = 80
+    channels: Tuple[int, ...] = (32, 64, 128, 256)
+    blocks: Tuple[int, ...] = (3, 4, 6, 3)       # ResNet34
+    embed_dim: int = 256
+
+    @classmethod
+    def tiny_test(cls) -> "EmbeddingConfig":
+        return cls(n_mels=80, channels=(8, 16, 16, 32), blocks=(1, 1, 1, 1),
+                   embed_dim=32)
+
+
+def _conv2d(x, w, stride):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _bn(x, p):
+    inv = jax.lax.rsqrt(p["var"] + 1e-5)
+    return (x - p["mean"]) * inv * p["g"] + p["b"]
+
+
+def _basic_block(x, p, stride):
+    y = jax.nn.relu(_bn(_conv2d(x, p["conv1_w"], stride), p["bn1"]))
+    y = _bn(_conv2d(y, p["conv2_w"], 1), p["bn2"])
+    if "down_w" in p:
+        x = _bn(_conv2d(x, p["down_w"], stride), p["down_bn"])
+    return jax.nn.relu(x + y)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def embed_forward(params: Dict[str, Any], feats: jnp.ndarray,
+                  cfg: EmbeddingConfig) -> jnp.ndarray:
+    """feats [B, T, n_mels] (log-mel) -> L2-normalised embeddings [B, D]."""
+    x = feats[..., None].astype(jnp.float32)       # [B, T, F, 1]
+    x = jax.nn.relu(_bn(_conv2d(x, params["stem_w"], 1), params["stem_bn"]))
+    for si, stage in enumerate(params["stages"]):
+        for bi, blk in enumerate(stage):
+            stride = 2 if (si > 0 and bi == 0) else 1
+            x = _basic_block(x, blk, stride)
+    # temporal statistics pooling over time (freq folded into channels)
+    b, t, f, c = x.shape
+    x = x.reshape(b, t, f * c)
+    mean = x.mean(axis=1)
+    std = jnp.sqrt(jnp.clip(x.var(axis=1), 1e-7, None))
+    stats = jnp.concatenate([mean, std], axis=-1)
+    emb = stats @ params["fc_w"] + params["fc_b"]
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-8)
+
+
+def init_embedding_params(key, cfg: EmbeddingConfig) -> Dict[str, Any]:
+    """Random init (tests / weightless fallback experiments)."""
+    ks = iter(jax.random.split(key, 256))
+
+    def conv(k, kh, kw, ci, co):
+        return np.asarray(jax.random.normal(k, (kh, kw, ci, co))
+                          / np.sqrt(kh * kw * ci), np.float32)
+
+    def bn(c):
+        return {"g": np.ones(c, np.float32), "b": np.zeros(c, np.float32),
+                "mean": np.zeros(c, np.float32),
+                "var": np.ones(c, np.float32)}
+
+    stages = []
+    c_in = cfg.channels[0]
+    for si, (c_out, n_blocks) in enumerate(zip(cfg.channels, cfg.blocks)):
+        stage = []
+        for bi in range(n_blocks):
+            blk = {
+                "conv1_w": conv(next(ks), 3, 3,
+                                c_in if bi == 0 else c_out, c_out),
+                "bn1": bn(c_out),
+                "conv2_w": conv(next(ks), 3, 3, c_out, c_out),
+                "bn2": bn(c_out),
+            }
+            if bi == 0 and (c_in != c_out or si > 0):
+                blk["down_w"] = conv(next(ks), 1, 1, c_in, c_out)
+                blk["down_bn"] = bn(c_out)
+            stage.append(blk)
+            c_in = c_out
+        stages.append(stage)
+
+    # after 3 stride-2 stages the freq axis is n_mels/8
+    feat = (cfg.n_mels // 8) * cfg.channels[-1]
+    return {
+        "stem_w": conv(next(ks), 3, 3, 1, cfg.channels[0]),
+        "stem_bn": bn(cfg.channels[0]),
+        "stages": stages,
+        "fc_w": np.asarray(jax.random.normal(next(ks),
+                                             (2 * feat, cfg.embed_dim))
+                           / np.sqrt(2 * feat), np.float32),
+        "fc_b": np.zeros(cfg.embed_dim, np.float32),
+    }
+
+
+def spectral_stats_embedding(audio: np.ndarray, n_mels: int = 40
+                             ) -> np.ndarray:
+    """Weightless fallback speaker signature: mean/std/delta statistics of
+    the log-mel spectrum (enough to separate distinct voices for tests and
+    degraded operation; real deployments convert wespeaker weights)."""
+    if len(audio) < 400:
+        audio = np.pad(audio, (0, 400 - len(audio)))
+    mel = np.asarray(unnormalized_log_mel(audio[None], n_mels))[0]
+    mean = mel.mean(axis=0)
+    std = mel.std(axis=0)
+    delta = np.abs(np.diff(mel, axis=0)).mean(axis=0) if len(mel) > 1 \
+        else np.zeros_like(mean)
+    emb = np.concatenate([mean, std, delta])
+    norm = np.linalg.norm(emb)
+    return (emb / norm if norm > 0 else emb).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Agglomerative clustering (cosine, average linkage) — host numpy
+# ---------------------------------------------------------------------------
+
+def agglomerative_cluster(embeddings: np.ndarray,
+                          threshold: float = 0.7,
+                          min_speakers: int = 1,
+                          max_speakers: Optional[int] = None) -> np.ndarray:
+    """Cluster L2-normalised embeddings; returns labels [N].
+
+    Merges the closest pair (average-linkage cosine distance) until the
+    best distance exceeds ``threshold`` and speaker-count constraints hold.
+    """
+    n = len(embeddings)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    max_speakers = max_speakers or n
+
+    clusters: List[List[int]] = [[i] for i in range(n)]
+    sims = embeddings @ embeddings.T
+    dist = 1.0 - sims
+
+    def avg_dist(a: List[int], b: List[int]) -> float:
+        return float(dist[np.ix_(a, b)].mean())
+
+    while len(clusters) > min_speakers:
+        best = None
+        best_d = np.inf
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                d = avg_dist(clusters[i], clusters[j])
+                if d < best_d:
+                    best_d = d
+                    best = (i, j)
+        if best is None:
+            break
+        if best_d > threshold and len(clusters) <= max_speakers:
+            break
+        i, j = best
+        clusters[i] = clusters[i] + clusters[j]
+        del clusters[j]
+
+    labels = np.zeros(n, np.int64)
+    # stable speaker numbering: order clusters by first appearance
+    clusters.sort(key=min)
+    for ci, members in enumerate(clusters):
+        for m in members:
+            labels[m] = ci
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+class DiarizationPipeline:
+    """whisperx.diarize.DiarizationPipeline surface (transcribe.py:142-144).
+
+    ``use_auth_token``/``device`` accepted for compatibility; weights come
+    from converted checkpoints instead of the HF hub (the reference needs
+    the token for the same gated models, README.md:58-59).
+    """
+
+    def __init__(self, use_auth_token: Optional[str] = None,
+                 device: Optional[str] = None,
+                 segmentation_params: Optional[dict] = None,
+                 embedding_params: Optional[dict] = None,
+                 embedding_cfg: Optional[EmbeddingConfig] = None,
+                 window_sec: float = 3.0,
+                 step_sec: float = 1.5,
+                 threshold: float = 0.7):
+        self.vad = VoiceActivityDetector(segmentation_params)
+        self.embedding_params = embedding_params
+        self.embedding_cfg = embedding_cfg or EmbeddingConfig()
+        self.window_sec = window_sec
+        self.step_sec = step_sec
+        self.threshold = threshold
+
+    def _embed(self, clip: np.ndarray) -> np.ndarray:
+        if self.embedding_params is None:
+            return spectral_stats_embedding(clip)
+        if len(clip) < 400:
+            clip = np.pad(clip, (0, 400 - len(clip)))
+        # [1, T_frames, n_mels] log-mel straight into the ResNet
+        mel = unnormalized_log_mel(clip[None], self.embedding_cfg.n_mels)
+        emb = embed_forward(self.embedding_params, mel, self.embedding_cfg)
+        return np.asarray(emb)[0]
+
+    def __call__(self, audio: np.ndarray,
+                 min_speakers: Optional[int] = None,
+                 max_speakers: Optional[int] = None) -> List[dict]:
+        """audio -> [{start, end, speaker}] (SPEAKER_00, SPEAKER_01, ...)."""
+        audio = np.asarray(audio, np.float32)
+        regions = self.vad(audio, VadOptions(min_duration_on=0.3,
+                                             min_duration_off=0.3))
+        # slide windows over speech regions
+        windows: List[Tuple[float, float]] = []
+        for s, e in regions:
+            t = s
+            while t < e:
+                w_end = min(t + self.window_sec, e)
+                if w_end - t >= 0.4:
+                    windows.append((t, w_end))
+                if w_end >= e:
+                    break
+                t += self.step_sec
+        if not windows:
+            return []
+
+        embs = []
+        for s, e in windows:
+            clip = audio[int(s * SAMPLE_RATE): int(e * SAMPLE_RATE)]
+            embs.append(self._embed(clip))
+        embs = np.stack(embs)
+        # center across the recording: shared structure (channel, silence
+        # floor) otherwise dominates cosine similarity between speakers
+        if len(embs) > 1:
+            embs = embs - embs.mean(axis=0, keepdims=True)
+            norms = np.linalg.norm(embs, axis=1, keepdims=True)
+            embs = embs / np.clip(norms, 1e-8, None)
+
+        labels = agglomerative_cluster(
+            embs, threshold=self.threshold,
+            min_speakers=min_speakers or 1,
+            max_speakers=max_speakers)
+
+        # merge consecutive same-speaker windows into segments
+        segments: List[dict] = []
+        for (s, e), lab in zip(windows, labels):
+            name = f"SPEAKER_{lab:02d}"
+            if segments and segments[-1]["speaker"] == name \
+                    and s <= segments[-1]["end"] + 1e-6:
+                segments[-1]["end"] = max(segments[-1]["end"], e)
+            else:
+                segments.append({"start": round(s, 3), "end": round(e, 3),
+                                 "speaker": name})
+        return segments
+
+
+# ---------------------------------------------------------------------------
+# Word/segment -> speaker assignment (D7)
+# ---------------------------------------------------------------------------
+
+def _overlap(a_start, a_end, b_start, b_end) -> float:
+    return max(0.0, min(a_end, b_end) - max(a_start, b_start))
+
+
+def _best_speaker(diarize_segments: Sequence[dict], start: float,
+                  end: float) -> Optional[str]:
+    votes: Dict[str, float] = {}
+    for d in diarize_segments:
+        ov = _overlap(start, end, d["start"], d["end"])
+        if ov > 0:
+            votes[d["speaker"]] = votes.get(d["speaker"], 0.0) + ov
+    if not votes:
+        return None
+    return max(votes.items(), key=lambda kv: kv[1])[0]
+
+
+def assign_word_speakers(diarize_segments: Sequence[dict], result: dict,
+                         fill_nearest: bool = False) -> dict:
+    """Interval-overlap speaker voting (whisperx.assign_word_speakers
+    surface, transcribe.py:145).  Adds ``speaker`` to segments and words."""
+    diarize_segments = list(diarize_segments)
+    out = dict(result)
+    segments = [dict(s) for s in result.get("segments", [])]
+    for seg in segments:
+        spk = _best_speaker(diarize_segments, seg.get("start", 0),
+                            seg.get("end", 0))
+        if spk is None and fill_nearest and diarize_segments:
+            mid = (seg.get("start", 0) + seg.get("end", 0)) / 2
+            spk = min(diarize_segments,
+                      key=lambda d: min(abs(d["start"] - mid),
+                                        abs(d["end"] - mid)))["speaker"]
+        if spk is not None:
+            seg["speaker"] = spk
+        words = []
+        for w in seg.get("words", []):
+            w = dict(w)
+            wspk = _best_speaker(diarize_segments, w.get("start", 0),
+                                 w.get("end", 0))
+            if wspk is not None:
+                w["speaker"] = wspk
+            elif spk is not None:
+                w["speaker"] = spk
+            words.append(w)
+        if words:
+            seg["words"] = words
+    out["segments"] = segments
+    return out

@@ -1,0 +1,149 @@
+"""Alignment stack tests: wav2vec2 parity vs HF torch, CTC Viterbi
+correctness on constructed posteriors, and the align() surface."""
+
+import numpy as np
+import pytest
+
+from manual_whisper_tpu.models.align import (AlignModel, _group_words, align,
+                                             ctc_viterbi_align)
+from manual_whisper_tpu.models.wav2vec2 import (Wav2Vec2Config,
+                                                convert_wav2vec2_state_dict,
+                                                frames_for_samples,
+                                                init_wav2vec2_params,
+                                                wav2vec2_logits)
+
+SR = 16000
+
+
+# ---------------------------------------------------------------------------
+# wav2vec2 numerics vs HF torch (random weights, no downloads)
+# ---------------------------------------------------------------------------
+
+HF_TINY = dict(vocab_size=12, hidden_size=64, num_hidden_layers=2,
+               num_attention_heads=2, intermediate_size=128,
+               conv_dim=[32] * 7, conv_kernel=[10, 3, 3, 3, 3, 2, 2],
+               conv_stride=[5, 2, 2, 2, 2, 2, 2],
+               num_conv_pos_embeddings=16,
+               num_conv_pos_embedding_groups=2,
+               do_stable_layer_norm=True, feat_extract_norm="layer",
+               hidden_dropout=0.0, attention_dropout=0.0,
+               feat_proj_dropout=0.0, final_dropout=0.0,
+               layerdrop=0.0, apply_spec_augment=False)
+
+
+def test_wav2vec2_parity_vs_hf():
+    import torch
+    from transformers import Wav2Vec2Config as HFW2V2Config
+    from transformers import Wav2Vec2ForCTC
+
+    torch.manual_seed(0)
+    hf = Wav2Vec2ForCTC(HFW2V2Config(**HF_TINY)).eval()
+    cfg = Wav2Vec2Config(vocab_size=12, hidden=64, n_layers=2, n_heads=2,
+                         ffn=128, conv_dim=32, pos_conv_kernel=16,
+                         pos_conv_groups=2)
+    params = convert_wav2vec2_state_dict(hf.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, SR)).astype(np.float32)
+    with torch.no_grad():
+        theirs = torch.log_softmax(
+            hf(torch.from_numpy(audio)).logits, dim=-1).numpy()
+    ours = np.asarray(wav2vec2_logits(params, audio, cfg))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=5e-3)
+
+
+def test_frames_for_samples():
+    assert frames_for_samples(16000) == 49  # 1 s -> 49 frames at 20 ms
+    assert frames_for_samples(400) == 1
+    assert frames_for_samples(0) == 0
+
+
+# ---------------------------------------------------------------------------
+# CTC Viterbi on constructed posteriors with known ground truth
+# ---------------------------------------------------------------------------
+
+def _posteriors(label_per_frame, vocab=5, peak=0.9):
+    T = len(label_per_frame)
+    p = np.full((T, vocab), (1 - peak) / (vocab - 1))
+    for t, l in enumerate(label_per_frame):
+        p[t, l] = peak
+    return np.log(p)
+
+
+def test_viterbi_recovers_planted_alignment():
+    # blank=0; emit token 1 on frames 2-4, token 2 on frames 7-8
+    frames = [0, 0, 1, 1, 1, 0, 0, 2, 2, 0]
+    spans, total = ctc_viterbi_align(_posteriors(frames), [1, 2], blank_id=0)
+    (s1, e1, sc1), (s2, e2, sc2) = spans
+    assert (s1, e1) == (2, 5)
+    assert (s2, e2) == (7, 9)
+    assert sc1 > 0.8 and sc2 > 0.8
+    assert np.isfinite(total)
+
+
+def test_viterbi_repeated_labels_need_blank():
+    # "1 1" must pass through a blank between the two 1s
+    frames = [1, 1, 0, 1, 1]
+    spans, _ = ctc_viterbi_align(_posteriors(frames), [1, 1], blank_id=0)
+    (s1, e1, _), (s2, e2, _) = spans
+    assert e1 <= 2 and s2 >= 3
+
+
+def test_viterbi_empty_and_degenerate():
+    assert ctc_viterbi_align(np.zeros((0, 5)), [1], 0)[0] == []
+    assert ctc_viterbi_align(np.zeros((5, 5)), [], 0)[0] == []
+
+
+# ---------------------------------------------------------------------------
+# align() surface
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_align_model():
+    import jax
+    cfg = Wav2Vec2Config.tiny_test()
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    vocab = {"<pad>": 0, "|": 1, "你": 2, "好": 3, "世": 4, "界": 5,
+             "h": 6, "i": 7}
+    return AlignModel(params=params, cfg=cfg, vocab=vocab, blank_id=0,
+                      language="zh")
+
+
+def test_align_schema(tiny_align_model):
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(SR * 3)).astype(np.float32)
+    segments = [{"text": "你好世界", "start": 0.2, "end": 1.4},
+                {"text": "", "start": 1.5, "end": 1.6},
+                {"text": "好", "start": 1.8, "end": 2.6}]
+    out = align(segments, tiny_align_model, audio)
+    assert set(out) == {"segments", "word_segments"}
+    assert len(out["segments"]) == 3
+    for seg in out["segments"]:
+        assert "words" in seg
+        for w in seg["words"]:
+            assert set(w) == {"word", "start", "end", "score"}
+            assert 0 <= w["start"] <= w["end"] <= 3.0
+    # char-aligned language: one word per character
+    words0 = out["segments"][0]["words"]
+    assert all(len(w["word"]) == 1 for w in words0)
+    # word order is monotone in time
+    starts = [w["start"] for w in words0]
+    assert starts == sorted(starts)
+
+
+def test_align_char_alignments_flag(tiny_align_model):
+    rng = np.random.default_rng(1)
+    audio = (0.1 * rng.standard_normal(SR)).astype(np.float32)
+    out = align([{"text": "你好", "start": 0.0, "end": 1.0}],
+                tiny_align_model, audio, return_char_alignments=True)
+    assert "chars" in out["segments"][0]
+
+
+def test_group_words_whitespace():
+    text = "hi yo"
+    times = [(0.0, 0.1, 0.9), (0.1, 0.2, 0.9), None,
+             (0.3, 0.4, 0.8), (0.4, 0.5, 0.8)]
+    words = _group_words(text, times, "en")
+    assert [w["word"] for w in words] == ["hi", "yo"]
+    assert words[0]["start"] == 0.0 and words[1]["end"] == 0.5

@@ -1,0 +1,133 @@
+"""Diarization tests: clustering, embeddings, pipeline, speaker assignment
+(reference behavior: whisperx diarize + assign_word_speakers,
+transcribe.py:142-145)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from manual_whisper_tpu.models.diarize import (
+    DiarizationPipeline, EmbeddingConfig, agglomerative_cluster,
+    assign_word_speakers, embed_forward, init_embedding_params,
+    spectral_stats_embedding)
+
+SR = 16000
+
+
+def _voice(freq, seconds, seed=0):
+    """Synthetic 'speaker': harmonic stack at a base pitch."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(SR * seconds)) / SR
+    x = sum((0.3 / k) * np.sin(2 * np.pi * freq * k * t) for k in (1, 2, 3))
+    return (x + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def test_agglomerative_cluster_two_groups():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(8) + np.array([5] + [0] * 7)
+    b = rng.standard_normal(8) + np.array([0] * 7 + [5])
+    embs = np.stack([a + 0.05 * rng.standard_normal(8) for _ in range(4)]
+                    + [b + 0.05 * rng.standard_normal(8) for _ in range(4)])
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    labels = agglomerative_cluster(embs, threshold=0.5)
+    assert len(set(labels[:4])) == 1
+    assert len(set(labels[4:])) == 1
+    assert labels[0] != labels[4]
+    # stable numbering: first-seen cluster is 0
+    assert labels[0] == 0
+
+
+def test_agglomerative_cluster_constraints():
+    embs = np.eye(4, dtype=np.float32)  # all orthogonal
+    labels = agglomerative_cluster(embs, threshold=0.1, min_speakers=1,
+                                   max_speakers=2)
+    assert len(set(labels)) <= 2
+    labels1 = agglomerative_cluster(embs[:1], threshold=0.5)
+    assert list(labels1) == [0]
+    assert len(agglomerative_cluster(np.zeros((0, 4)), 0.5)) == 0
+
+
+def test_spectral_stats_embedding_separates_voices():
+    e_low = spectral_stats_embedding(_voice(110, 2.0, seed=1))
+    e_low2 = spectral_stats_embedding(_voice(112, 2.0, seed=2))
+    e_high = spectral_stats_embedding(_voice(280, 2.0, seed=3))
+    same = float(e_low @ e_low2)
+    diff = float(e_low @ e_high)
+    assert same > diff
+
+
+def test_embed_forward_shapes():
+    cfg = EmbeddingConfig.tiny_test()
+    params = init_embedding_params(jax.random.PRNGKey(0), cfg)
+    feats = np.random.default_rng(0).standard_normal(
+        (2, 64, cfg.n_mels)).astype(np.float32)
+    emb = np.asarray(embed_forward(params, feats, cfg))
+    assert emb.shape == (2, cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+
+def test_diarization_pipeline_two_speakers():
+    # alternating speakers with distinct pitch, separated by silences
+    parts = []
+    for i in range(4):
+        parts.append(_voice(110 if i % 2 == 0 else 300, 2.0, seed=i))
+        parts.append(np.zeros(int(0.8 * SR), np.float32))
+    audio = np.concatenate(parts)
+    diar = DiarizationPipeline(window_sec=2.0, step_sec=2.0, threshold=0.5)
+    segments = diar(audio, max_speakers=2)
+    assert segments, "no diarization segments produced"
+    speakers = {s["speaker"] for s in segments}
+    assert speakers <= {"SPEAKER_00", "SPEAKER_01"}
+    assert len(speakers) == 2
+    for s in segments:
+        assert s["start"] < s["end"]
+
+    def speaker_at(t):
+        for s in segments:
+            if s["start"] <= t <= s["end"]:
+                return s["speaker"]
+        return None
+    # first and third bursts same voice; second different
+    assert speaker_at(1.0) == speaker_at(6.6)
+    assert speaker_at(1.0) != speaker_at(3.8)
+
+
+def test_diarization_empty_audio():
+    diar = DiarizationPipeline()
+    assert diar(np.zeros(SR, np.float32)) == []
+
+
+def test_assign_word_speakers():
+    diarize_segments = [
+        {"start": 0.0, "end": 5.0, "speaker": "SPEAKER_00"},
+        {"start": 5.0, "end": 10.0, "speaker": "SPEAKER_01"},
+    ]
+    result = {"segments": [
+        {"text": "甲说话", "start": 1.0, "end": 4.0,
+         "words": [{"word": "甲", "start": 1.0, "end": 2.0},
+                   {"word": "说", "start": 4.6, "end": 5.9},
+                   {"word": "话", "start": 20.0, "end": 21.0}]},
+        {"text": "乙说话", "start": 6.0, "end": 9.0},
+        {"text": "外面", "start": 30.0, "end": 31.0},
+    ]}
+    out = assign_word_speakers(diarize_segments, result)
+    segs = out["segments"]
+    assert segs[0]["speaker"] == "SPEAKER_00"
+    assert segs[1]["speaker"] == "SPEAKER_01"
+    assert "speaker" not in segs[2]          # no overlap, no fill
+    words = segs[0]["words"]
+    assert words[0]["speaker"] == "SPEAKER_00"
+    # word straddling 5.0 with more overlap in SPEAKER_01's turn
+    assert words[1]["speaker"] == "SPEAKER_01"
+    # unmatched word inherits segment speaker
+    assert words[2]["speaker"] == "SPEAKER_00"
+    # input untouched
+    assert "speaker" not in result["segments"][0]
+
+
+def test_assign_word_speakers_fill_nearest():
+    diarize_segments = [{"start": 0.0, "end": 1.0, "speaker": "SPEAKER_00"}]
+    result = {"segments": [{"text": "远", "start": 5.0, "end": 6.0}]}
+    out = assign_word_speakers(diarize_segments, result, fill_nearest=True)
+    assert out["segments"][0]["speaker"] == "SPEAKER_00"
