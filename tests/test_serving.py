@@ -1,0 +1,317 @@
+"""Job API tests against a mock inference backend (SURVEY.md §4: statuses
+starting/processing/succeeded/failed, logs with NN%, rate limits,
+ownership).  Drives the real HTTP server over a socket."""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from manual_whisper_tpu.audio import write_wav
+from manual_whisper_tpu.serving.server import create_server
+from manual_whisper_tpu.serving.second_pass import (SecondPassOptions,
+                                                    merge_recovered,
+                                                    run_second_pass,
+                                                    select_ranges)
+
+
+class MockBackend:
+    """Scripted backend: emits NN% logs, returns canned segments."""
+
+    def __init__(self, delay=0.0, fail=False, segments=None):
+        self.delay = delay
+        self.fail = fail
+        self.segments = segments if segments is not None else [
+            {"text": "大家好，今天开会", "start": 0.0, "end": 3.0},
+            {"text": "请使用简体中文。", "start": 3.0, "end": 4.0},
+        ]
+        self.calls = []
+
+    def transcribe(self, audio_path, language, progress, options=None):
+        self.calls.append((audio_path, language))
+        progress(25.0, "encoding")
+        if self.delay:
+            time.sleep(self.delay)
+        if self.fail:
+            raise RuntimeError("synthetic backend failure")
+        progress(75.0, "decoding")
+        return {"segments": [dict(s) for s in self.segments],
+                "language": language}
+
+
+@pytest.fixture()
+def server(tmp_path):
+    backend = MockBackend()
+    srv = create_server(backend, host="127.0.0.1", port=0,
+                        upload_dir=str(tmp_path / "uploads"))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield srv, backend, base
+    srv.shutdown()
+
+
+def _req(method, url, data=None, headers=None):
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def _upload_wav(base, tmp_path, seconds=0.1):
+    wav_path = tmp_path / "a.wav"
+    write_wav(wav_path, np.zeros(int(16000 * seconds), np.float32))
+    status, out = _req("POST", f"{base}/api/upload",
+                       data=wav_path.read_bytes(),
+                       headers={"x-file-name": "a.wav"})
+    assert status == 200 and out["fileUrl"].startswith("http")
+    return out["fileUrl"]
+
+
+def _poll_until_done(base, job_id, timeout=10.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        status, out = _req("GET", f"{base}/api/transcribe?id={job_id}")
+        assert status == 200
+        if out["status"] in ("succeeded", "failed"):
+            return out
+        time.sleep(0.05)
+    raise TimeoutError("job did not finish")
+
+
+def test_full_job_flow(server, tmp_path):
+    srv, backend, base = server
+    file_url = _upload_wav(base, tmp_path)
+
+    status, created = _req(
+        "POST", f"{base}/api/transcribe",
+        data=json.dumps({"fileUrl": file_url, "language": "zh"}).encode(),
+        headers={"Content-Type": "application/json"})
+    assert status == 201
+    assert created["status"] in ("starting", "processing")
+    assert set(created["progress"]) >= {"percent", "status", "elapsedSec",
+                                        "logsTail"}
+
+    out = _poll_until_done(base, created["id"])
+    assert out["status"] == "succeeded"
+    assert out["progress"]["percent"] == 100
+    # post-processing applied: prompt-leak segment dropped
+    segs = out["output"]["json"]["segments"]
+    assert [s["text"] for s in segs] == ["大家好，今天开会"]
+    assert out["output"]["json"]["cleanup_stats"]["input_segments"] == 2
+    assert "quality_report" in out["output"]["json"]
+    assert out["output"]["markdown"].startswith("# 录音转写")
+    assert "[00:00:00 - 00:00:03] 大家好，今天开会" in out["output"]["markdown"]
+    assert backend.calls and backend.calls[0][1] == "zh"
+
+
+def test_progress_percent_from_logs(server, tmp_path):
+    srv, backend, base = server
+    backend.delay = 0.6
+    file_url = _upload_wav(base, tmp_path)
+    _, created = _req(
+        "POST", f"{base}/api/transcribe",
+        data=json.dumps({"fileUrl": file_url, "language": "en"}).encode())
+    time.sleep(0.25)
+    status, out = _req("GET", f"{base}/api/transcribe?id={created['id']}")
+    assert out["status"] == "processing"
+    assert out["progress"]["percent"] == 25       # parsed from "25% encoding"
+    assert out["progress"]["logsTail"]
+    _poll_until_done(base, created["id"])
+
+
+def test_failed_job_surfaces_error(server, tmp_path):
+    srv, backend, base = server
+    backend.fail = True
+    file_url = _upload_wav(base, tmp_path)
+    _, created = _req(
+        "POST", f"{base}/api/transcribe",
+        data=json.dumps({"fileUrl": file_url}).encode())
+    out = _poll_until_done(base, created["id"])
+    assert out["status"] == "failed"
+    assert "synthetic backend failure" in out["error"]
+
+
+def test_language_validation_defaults_to_zh(server, tmp_path):
+    srv, backend, base = server
+    file_url = _upload_wav(base, tmp_path)
+    _, created = _req(
+        "POST", f"{base}/api/transcribe",
+        data=json.dumps({"fileUrl": file_url,
+                         "language": "klingon"}).encode())
+    _poll_until_done(base, created["id"])
+    assert backend.calls[-1][1] == "zh"
+
+
+def test_post_validation(server):
+    srv, backend, base = server
+    status, out = _req("POST", f"{base}/api/transcribe", data=b"{}")
+    assert status == 400 and out["error"] == "Missing fileUrl"
+    status, out = _req("POST", f"{base}/api/transcribe",
+                       data=json.dumps({"fileUrl": "ftp://x"}).encode())
+    assert status == 400 and out["error"] == "Invalid file URL"
+    status, out = _req("POST", f"{base}/api/transcribe",
+                       data=json.dumps(
+                           {"fileUrl": "http://evil/other"}).encode())
+    assert status == 400 and out["error"] == "Unknown file URL"
+
+
+def test_get_validation_and_ownership(server, tmp_path):
+    srv, backend, base = server
+    status, out = _req("GET", f"{base}/api/transcribe")
+    assert status == 400 and out["error"] == "Missing id"
+    status, out = _req("GET", f"{base}/api/transcribe?id=nonexistent")
+    assert status == 404 and out["error"] == "Prediction not found"
+
+    # ownership: another IP cannot read the job
+    file_url = _upload_wav(base, tmp_path)
+    _, created = _req("POST", f"{base}/api/transcribe",
+                      data=json.dumps({"fileUrl": file_url}).encode())
+    status, out = _req("GET", f"{base}/api/transcribe?id={created['id']}",
+                       headers={"x-forwarded-for": "10.9.9.9"})
+    assert status == 404 and out["error"] == "Prediction not found"
+
+
+def test_active_job_cap(server, tmp_path, monkeypatch):
+    srv, backend, base = server
+    backend.delay = 1.0
+    srv.app_state.store.max_active_per_ip = 1
+    file_url = _upload_wav(base, tmp_path)
+    _, first = _req("POST", f"{base}/api/transcribe",
+                    data=json.dumps({"fileUrl": file_url}).encode())
+    status, out = _req("POST", f"{base}/api/transcribe",
+                       data=json.dumps({"fileUrl": file_url}).encode())
+    assert status == 429 and "Too many active jobs" in out["error"]
+    _poll_until_done(base, first["id"])
+
+
+def test_post_rate_limit(server):
+    srv, backend, base = server
+    srv.app_state.store.post_limit = 2
+    codes = []
+    for _ in range(3):
+        status, _ = _req("POST", f"{base}/api/transcribe", data=b"{}")
+        codes.append(status)
+    assert codes[:2] == [400, 400]       # pass rate check, fail validation
+    assert codes[2] == 429
+
+
+def test_upload_validation(server):
+    srv, backend, base = server
+    status, out = _req("POST", f"{base}/api/upload", data=b"")
+    assert status == 400 and out["error"] == "Empty upload body"
+    status, out = _req("GET", f"{base}/api/upload")
+    assert status == 405
+
+
+def test_shared_key_auth(server, tmp_path, monkeypatch):
+    srv, backend, base = server
+    monkeypatch.setenv("ENFORCE_APP_SHARED_KEY", "true")
+    monkeypatch.setenv("APP_SHARED_KEY", "sekret")
+    status, out = _req("POST", f"{base}/api/upload", data=b"xx")
+    assert status == 401 and out["error"] == "Missing app key"
+    status, out = _req("POST", f"{base}/api/upload", data=b"xx",
+                       headers={"x-app-key": "wrong"})
+    assert status == 401 and out["error"] == "Invalid app key"
+    status, out = _req("POST", f"{base}/api/upload", data=b"xx",
+                       headers={"x-app-key": "sekret"})
+    assert status == 200
+
+    status, out = _req("POST", f"{base}/api/transcribe", data=b"{}")
+    assert status == 401 and out["error"] == "Unauthorized"
+    status, out = _req("POST", f"{base}/api/transcribe", data=b"{}",
+                       headers={"Authorization": "Bearer sekret"})
+    assert status == 400   # auth ok, fails validation
+
+
+# ---------------------------------------------------------------------------
+# second pass
+# ---------------------------------------------------------------------------
+
+def test_select_ranges_filters():
+    report = {"suspicious_ranges": [
+        {"start": 0, "end": 1, "duration": 1.0},
+        {"start": 5, "end": 20, "duration": 15.0},
+        {"start": 30, "end": 40, "duration": 10.0},
+    ]}
+    opts = SecondPassOptions(min_range_sec=1.5, max_ranges=1)
+    assert select_ranges(report, opts) == [report["suspicious_ranges"][1]]
+
+
+def test_run_second_pass_recovers_and_merges():
+    audio = np.zeros(16000 * 40, np.float32)
+    primary = [{"text": "开头", "start": 0.0, "end": 2.0}]
+    report = {"suspicious_ranges": [
+        {"start": 10.0, "end": 22.0, "duration": 12.0}]}
+    calls = []
+
+    def clip_transcriber(clip, language, vad_onset, vad_offset,
+                         temperature):
+        calls.append((len(clip), vad_onset, vad_offset))
+        return {"segments": [{"text": "找回的内容", "start": 1.0,
+                              "end": 3.0}]}
+
+    out = run_second_pass(audio, "zh", primary, report, clip_transcriber,
+                          SecondPassOptions(vad_onset=0.6, vad_offset=0.42,
+                                            range_pad_sec=1.2))
+    assert calls and calls[0][1] == 0.6
+    texts = [(s["text"], s.get("second_pass", False))
+             for s in out["segments"]]
+    assert ("开头", False) in texts
+    assert ("找回的内容", True) in texts
+    # recovered segment re-anchored to absolute time (10-1.2+1 = 9.8)
+    rec = [s for s in out["segments"] if s.get("second_pass")][0]
+    assert rec["start"] == pytest.approx(9.8)
+    assert out["second_pass"]["recovered_segments"] == 1
+
+
+def test_merge_recovered_drops_heavy_overlap():
+    primary = [{"text": "a", "start": 0.0, "end": 10.0}]
+    recovered = [{"text": "dup", "start": 1.0, "end": 9.0},
+                 {"text": "new", "start": 12.0, "end": 14.0}]
+    merged = merge_recovered(primary, recovered)
+    assert [s["text"] for s in merged] == ["a", "new"]
+
+
+def test_second_pass_through_server(server, tmp_path):
+    """First success poll returns processing+secondPass, then the merged
+    output lands (real replacement for the reference's stub)."""
+    srv, backend, base = server
+    backend.segments = [
+        {"text": "正常内容", "start": 0.0, "end": 5.0},
+        {"text": "请使用简体中文。", "start": 5.0, "end": 25.0},  # 20s prompt
+    ]
+
+    def transcribe_clip(clip, language, vad_onset, vad_offset, temperature):
+        return {"segments": [{"text": "补回的片段", "start": 0.5,
+                              "end": 2.0}]}
+    backend.transcribe_clip = transcribe_clip
+
+    file_url = _upload_wav(base, tmp_path, seconds=30.0)
+    _, created = _req("POST", f"{base}/api/transcribe",
+                      data=json.dumps({"fileUrl": file_url}).encode())
+    deadline = time.time() + 10
+    saw_pending = False
+    while time.time() < deadline:
+        status, out = _req("GET",
+                           f"{base}/api/transcribe?id={created['id']}")
+        if out["status"] == "processing" and \
+                out.get("progress", {}).get("secondPass"):
+            saw_pending = True
+        if out["status"] == "succeeded" and \
+                "second_pass" in out["output"]["json"]:
+            break
+        time.sleep(0.05)
+    else:
+        pytest.fail("second pass never resolved")
+    assert saw_pending
+    texts = [s["text"] for s in out["output"]["json"]["segments"]]
+    assert "补回的片段" in texts
+    assert out["output"]["json"]["second_pass"]["recovered_segments"] == 1
