@@ -1,0 +1,296 @@
+/**
+ * App controller: upload/record -> transcribe -> poll -> render result.
+ * Equivalent role to the reference's web/main.js state machine, written
+ * against the same server API (apiService.js).
+ */
+
+import { createTranscription, pollTranscriptionStatus, uploadFile }
+    from "./apiService.js";
+import { AudioRecorder } from "./audioRecorder.js";
+import { applyTranslations, currentLanguage, setLanguage, t } from "./i18n.js";
+import { clampPercent, extractFileBaseName, formatBytes, formatTime }
+    from "./utils.js";
+
+const MAX_UPLOAD_BYTES = 100 * 1024 * 1024;
+const ALLOWED_EXTENSIONS = new Set([
+    "wav", "m4a", "mp3", "flac", "ogg", "aac", "wma", "webm", "mp4",
+]);
+
+const $ = (id) => document.getElementById(id);
+
+const state = {
+    file: null,
+    recorder: null,
+    recordTimer: null,
+    polling: false,
+    lastPercent: 0,
+    result: null,
+    baseName: "transcript",
+};
+
+// ---------------------------------------------------------------------------
+// wiring
+// ---------------------------------------------------------------------------
+
+document.addEventListener("DOMContentLoaded", () => {
+    applyTranslations();
+    $("lang-toggle").addEventListener("click", () => {
+        setLanguage(currentLanguage() === "zh" ? "en" : "zh");
+        renderFileInfo();
+    });
+
+    for (const tab of document.querySelectorAll(".tab")) {
+        tab.addEventListener("click", () => switchTab(tab.dataset.tab));
+    }
+
+    const dropZone = $("drop-zone");
+    dropZone.addEventListener("click", () => $("file-input").click());
+    dropZone.addEventListener("dragover", (e) => {
+        e.preventDefault();
+        dropZone.classList.add("dragging");
+    });
+    dropZone.addEventListener("dragleave",
+        () => dropZone.classList.remove("dragging"));
+    dropZone.addEventListener("drop", (e) => {
+        e.preventDefault();
+        dropZone.classList.remove("dragging");
+        if (e.dataTransfer.files.length) selectFile(e.dataTransfer.files[0]);
+    });
+    $("file-input").addEventListener("change", (e) => {
+        if (e.target.files.length) selectFile(e.target.files[0]);
+    });
+
+    $("record-btn").addEventListener("click", toggleRecording);
+    $("start-btn").addEventListener("click", startTranscriptionTask);
+    $("copy-btn").addEventListener("click", copyTranscript);
+    $("download-md").addEventListener("click", () => downloadResult("md"));
+    $("download-json").addEventListener("click", () => downloadResult("json"));
+    $("new-task-btn").addEventListener("click", resetToInput);
+});
+
+function switchTab(name) {
+    for (const tab of document.querySelectorAll(".tab")) {
+        tab.classList.toggle("active", tab.dataset.tab === name);
+    }
+    $("panel-upload").hidden = name !== "upload";
+    $("panel-record").hidden = name !== "record";
+}
+
+// ---------------------------------------------------------------------------
+// file selection & validation
+// ---------------------------------------------------------------------------
+
+function validateFile(file) {
+    if (!file || file.size === 0) return t("error_empty");
+    if (file.size > MAX_UPLOAD_BYTES) return t("error_too_large");
+    const ext = (file.name.split(".").pop() || "").toLowerCase();
+    if (!ALLOWED_EXTENSIONS.has(ext)) return t("error_format");
+    return null;
+}
+
+function selectFile(file) {
+    const error = validateFile(file);
+    if (error) {
+        showError(error);
+        return;
+    }
+    hideError();
+    state.file = file;
+    state.baseName = extractFileBaseName(file.name);
+    renderFileInfo();
+    const player = $("audio-preview");
+    player.src = URL.createObjectURL(file);
+    player.hidden = false;
+    $("start-btn").disabled = false;
+}
+
+function renderFileInfo() {
+    const info = $("file-info");
+    if (state.file) {
+        info.textContent = `${state.file.name} · ${formatBytes(state.file.size)}`;
+        info.hidden = false;
+    } else {
+        info.hidden = true;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// recording
+// ---------------------------------------------------------------------------
+
+async function toggleRecording() {
+    const btn = $("record-btn");
+    if (state.recorder) {
+        const blob = await state.recorder.stop();
+        clearInterval(state.recordTimer);
+        state.recorder = null;
+        btn.textContent = t("record_start");
+        btn.classList.remove("recording");
+        const stamp = new Date().toISOString().slice(0, 16)
+            .replace("T", "_").replaceAll(":", "-");
+        const file = new File([blob], `recording_${stamp}.wav`,
+            { type: "audio/wav" });
+        selectFile(file);
+        return;
+    }
+    try {
+        const recorder = new AudioRecorder({
+            onLevel: (rms) => {
+                $("level-bar").style.width =
+                    `${Math.min(100, Math.round(rms * 400))}%`;
+            },
+        });
+        await recorder.start();
+        state.recorder = recorder;
+        btn.textContent = t("record_stop");
+        btn.classList.add("recording");
+        state.recordTimer = setInterval(() => {
+            $("record-time").textContent = formatTime(recorder.durationSec);
+        }, 250);
+    } catch (err) {
+        showError(`${err.message || err}`);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// transcription task
+// ---------------------------------------------------------------------------
+
+async function startTranscriptionTask() {
+    const file = state.file;
+    const error = validateFile(file);
+    if (error) {
+        showError(error);
+        return;
+    }
+    hideError();
+    showSection("progress");
+    setStep("upload");
+    setStatus(t("status_uploading"));
+    state.lastPercent = 0;
+
+    try {
+        const { fileUrl } = await uploadFile(file, (pct) => {
+            setPercent(pct * 0.2);
+        });
+        setStep("transcribe");
+        setStatus(t("status_queued"));
+        const created = await createTranscription(
+            fileUrl, file.name, $("language-select").value);
+
+        const final = await pollTranscriptionStatus(created.id,
+            renderPredictionProgress);
+        setStep("process");
+        finishProcess(final);
+    } catch (err) {
+        showSection("input");
+        showError(err.message || String(err));
+    }
+}
+
+function renderPredictionProgress(payload) {
+    const progress = payload.progress || {};
+    const isSecondPass = Boolean(progress.secondPass
+        && payload.status === "processing");
+    setStatus(isSecondPass ? t("status_second_pass")
+        : t("status_processing"));
+    // 20-95% band for server-side progress; monotone so the bar never
+    // moves backwards
+    const serverPct = clampPercent(progress.percent);
+    setPercent(20 + serverPct * 0.75);
+    const tail = progress.logsTail || [];
+    $("log-tail").textContent = tail.join("\n");
+}
+
+function setPercent(pct) {
+    state.lastPercent = Math.max(state.lastPercent, clampPercent(pct));
+    $("progress-bar").style.width = `${state.lastPercent}%`;
+    $("progress-num").textContent = `${Math.round(state.lastPercent)}%`;
+}
+
+function setStatus(text) {
+    $("status-line").textContent = text;
+}
+
+function setStep(step) {
+    for (const el of document.querySelectorAll(".step")) {
+        el.classList.toggle("active", el.dataset.step === step);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// results
+// ---------------------------------------------------------------------------
+
+function finishProcess(final) {
+    setPercent(100);
+    setStatus(t("status_done"));
+    state.result = final.output || {};
+    showSection("result");
+
+    $("transcript-view").textContent = state.result.markdown || "";
+
+    const quality = final.output?.json?.quality_report;
+    const qualityBox = $("quality-box");
+    if (quality) {
+        const coverage = Math.round((quality.coverage_ratio || 0) * 1000) / 10;
+        const lines = [`${t("coverage")}: ${coverage}%`];
+        for (const warning of quality.warnings || []) lines.push(`⚠️ ${warning}`);
+        qualityBox.textContent = lines.join("\n");
+        qualityBox.hidden = false;
+    } else {
+        qualityBox.hidden = true;
+    }
+}
+
+function downloadResult(kind) {
+    if (!state.result) return;
+    const isMd = kind === "md";
+    const content = isMd ? (state.result.markdown || "")
+        : JSON.stringify(state.result.json || {}, null, 2);
+    const blob = new Blob([content],
+        { type: isMd ? "text/markdown" : "application/json" });
+    const a = document.createElement("a");
+    a.href = URL.createObjectURL(blob);
+    a.download = `${state.baseName}_transcript.${isMd ? "md" : "json"}`;
+    a.click();
+    URL.revokeObjectURL(a.href);
+}
+
+async function copyTranscript() {
+    if (!state.result?.markdown) return;
+    await navigator.clipboard.writeText(state.result.markdown);
+    const btn = $("copy-btn");
+    const original = btn.textContent;
+    btn.textContent = t("copied");
+    setTimeout(() => { btn.textContent = original; }, 1200);
+}
+
+function resetToInput() {
+    state.file = null;
+    state.result = null;
+    $("start-btn").disabled = true;
+    $("audio-preview").hidden = true;
+    renderFileInfo();
+    showSection("input");
+}
+
+// ---------------------------------------------------------------------------
+// sections & errors
+// ---------------------------------------------------------------------------
+
+function showSection(name) {
+    $("section-input").hidden = name !== "input";
+    $("section-progress").hidden = name !== "progress";
+    $("section-result").hidden = name !== "result";
+}
+
+function showError(message) {
+    const box = $("error-box");
+    box.textContent = message;
+    box.hidden = false;
+}
+
+function hideError() {
+    $("error-box").hidden = true;
+}
