@@ -1,0 +1,187 @@
+"""Batched beam-search decoding for Whisper on TPU.
+
+WhisperX's faster-whisper backend decodes with beam_size=5 by default
+(the engine the reference drives via model.transcribe, transcribe.py:123);
+this is the TPU equivalent.  Memory-conscious layout:
+
+- cross-attention K/V stays [L, B, H, Ta, dh] and is SHARED across beams
+  inside the attention einsum (tiling it for large-v3 at batch 8 x beam 5
+  would cost ~20 GB of HBM);
+- self-attention cache is [L, B, K, H, T, dh] and is re-gathered along the
+  beam axis after each step's top-k (the one unavoidable beam-search cost);
+- whole search is ONE jitted program: prefill -> while_loop of
+  (step, top-k, gather) with static (B, K, P, max_new).
+
+Hypothesis selection uses length-normalised scores
+(sum_logprob / length^length_penalty, CT2's default penalty 1.0).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.quant import mm
+from .whisper import (Params, WhisperConfig, _layer_norm, _merge_heads,
+                      _mlp, _split_heads, decoder_forward, init_kv_cache,
+                      precompute_cross_kv)
+
+NEG_INF = -1e30
+
+
+def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos):
+    """One decoder block for beam-shaped activations.
+
+    h [B, K, d]; self cache ck/cv [B, K, H, T, dh] (updated at ``pos``);
+    cross x_k/x_v [B, H, Ta, dh] shared across beams.
+    """
+    b, k, d = h.shape
+    dh = d // n_head
+
+    def heads(y):  # [B, K, d] -> [B, K, H, dh]
+        return y.reshape(b, k, n_head, dh)
+
+    a_in = _layer_norm(h, blk["ln1"])
+    q = heads(mm(a_in, blk["attn"]["q_w"]) + blk["attn"]["q_b"])
+    new_k = heads(mm(a_in, blk["attn"]["k_w"]))
+    new_v = heads(mm(a_in, blk["attn"]["v_w"]) + blk["attn"]["v_b"])
+    ck = jax.lax.dynamic_update_slice(
+        ck, new_k[:, :, :, None].astype(ck.dtype), (0, 0, 0, pos, 0))
+    cv = jax.lax.dynamic_update_slice(
+        cv, new_v[:, :, :, None].astype(cv.dtype), (0, 0, 0, pos, 0))
+    scores = jnp.einsum("bkhd,bkhtd->bkht", q, ck,
+                        preferred_element_type=jnp.float32) * dh ** -0.5
+    scores = scores + mask                   # [B, K, H, T] + [T]
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    attn = jnp.einsum("bkht,bkhtd->bkhd", probs, cv).reshape(b, k, d)
+    h = h + (mm(attn, blk["attn"]["o_w"]) + blk["attn"]["o_b"])
+
+    x_in = _layer_norm(h, blk["lnx"])
+    xq = heads(mm(x_in, blk["xattn"]["q_w"]) + blk["xattn"]["q_b"])
+    xscores = jnp.einsum("bkhd,bhtd->bkht", xq, x_k,
+                         preferred_element_type=jnp.float32) * dh ** -0.5
+    xprobs = jax.nn.softmax(xscores, axis=-1).astype(xq.dtype)
+    xattn = jnp.einsum("bkht,bhtd->bkhd", xprobs, x_v).reshape(b, k, d)
+    h = h + (mm(xattn, blk["xattn"]["o_w"]) + blk["xattn"]["o_b"])
+
+    m_in = _layer_norm(h, blk["ln2"])
+    return h + _mlp(m_in, blk["mlp"]), (ck, cv)
+
+
+def _beam_step(params, cfg, token, pos, cache, cross_kv):
+    """token [B, K] at absolute position ``pos`` -> (logits [B,K,V], cache).
+
+    cache: (k, v) [L, B, K, H, T, dh]; cross_kv: (k, v) [L, B, H, Ta, dh].
+    """
+    dec = params["decoder"]
+    n_head = cfg.n_text_head
+    cache_k, cache_v = cache
+    x_k, x_v = cross_kv
+    max_len = cache_k.shape[4]
+
+    x = dec["tok_emb"][token] + jax.lax.dynamic_index_in_dim(
+        dec["pos_emb"], pos, axis=0, keepdims=False)
+    x = x.astype(cfg.dtype)                                # [B, K, d]
+
+    mask = jnp.where(jnp.arange(max_len) <= pos, 0.0,
+                     -jnp.inf).astype(jnp.float32)
+
+    def block_fn(carry, scanned):
+        h = carry
+        blk, ck, cv, xk, xv = scanned
+        h, (ck, cv) = _beam_block(h, blk, n_head, ck, cv, mask, xk, xv, pos)
+        return h, (ck, cv)
+
+    x, (new_ck, new_cv) = jax.lax.scan(
+        block_fn, x, (dec["blocks"], cache_k, cache_v, x_k, x_v))
+    x = _layer_norm(x, dec["ln"])
+    logits = jnp.einsum("bkd,vd->bkv", x.astype(jnp.float32),
+                        dec["tok_emb"].astype(jnp.float32))
+    return logits, (new_ck, new_cv)
+
+
+@partial(jax.jit, static_argnames=("eot", "cfg", "max_new", "beam_size"))
+def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
+                    suppress_mask: jnp.ndarray, blank_mask: jnp.ndarray,
+                    eot: int, cfg: WhisperConfig, max_new: int,
+                    beam_size: int, length_penalty: float = 1.0):
+    """Beam search over a batch of encoded segments.
+
+    Returns (tokens [B, max_new] of the best hypothesis, sum_logprobs [B],
+    lengths [B], prefill_logits [B, P, V]).
+    """
+    b = xa.shape[0]
+    p = prefix.shape[0]
+    k = beam_size
+    eot_i32 = jnp.int32(eot)
+    vocab = cfg.n_vocab
+
+    cross_kv = precompute_cross_kv(params, xa, cfg)        # [L,B,H,Ta,dh]
+    cache = init_kv_cache(cfg, b, max_len=p + max_new)
+    prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
+    prefill_logits, cache = decoder_forward(
+        params, prefix_b, xa, cfg, pos_offset=0, kv_cache=cache)
+
+    # [L, B, H, T, dh] -> [L, B, K, H, T, dh] (beams start identical)
+    def tile(c):
+        return jnp.broadcast_to(
+            c[:, :, None], (c.shape[0], b, k) + c.shape[2:])
+    cache = (tile(cache[0]).copy(), tile(cache[1]).copy())
+
+    first = jax.nn.log_softmax(
+        prefill_logits[:, -1, :] + suppress_mask + blank_mask, axis=-1)
+    top_lp, top_tok = jax.lax.top_k(first, k)              # [B, K]
+
+    tokens0 = jnp.full((b, k, max_new), eot_i32, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(top_tok)
+    finished0 = top_tok == eot_i32
+    state = (tokens0, top_tok, jnp.int32(1), cache, finished0,
+             top_lp, jnp.ones((b, k), jnp.int32))
+
+    def cond(state):
+        _, _, i, _, finished, _, _ = state
+        return jnp.logical_and(i < max_new, ~jnp.all(finished))
+
+    def body(state):
+        tokens, last, i, cache, finished, cum_lp, lengths = state
+        logits, cache = _beam_step(params, cfg, last, p + i - 1, cache,
+                                   cross_kv)
+        logp = jax.nn.log_softmax(logits + suppress_mask, axis=-1)
+        # finished beams: only EOT continuation at zero cost
+        frozen = jnp.full((vocab,), NEG_INF).at[eot].set(0.0)
+        logp = jnp.where(finished[:, :, None], frozen[None, None, :], logp)
+
+        cand = cum_lp[:, :, None] + logp                    # [B, K, V]
+        flat = cand.reshape(b, k * vocab)
+        new_cum, idx = jax.lax.top_k(flat, k)               # [B, K]
+        beam_idx = idx // vocab
+        tok = (idx % vocab).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+        tokens = tokens.at[:, :, i].set(tok)
+        finished = jnp.take_along_axis(finished, beam_idx, axis=1)
+        lengths = jnp.take_along_axis(lengths, beam_idx, axis=1)
+        cache = tuple(
+            jnp.take_along_axis(
+                c, beam_idx[None, :, :, None, None, None], axis=2)
+            for c in cache)
+
+        lengths = lengths + jnp.where(finished, 0, 1).astype(jnp.int32)
+        finished = jnp.logical_or(finished, tok == eot_i32)
+        return (tokens, tok, i + 1, cache, finished, new_cum, lengths)
+
+    tokens, _, _, _, finished, cum_lp, lengths = jax.lax.while_loop(
+        cond, body, state)
+
+    # length-normalised selection among beams
+    norm = jnp.maximum(lengths.astype(jnp.float32), 1.0) ** length_penalty
+    score = cum_lp / norm
+    best = jnp.argmax(score, axis=1)                        # [B]
+    best_tokens = jnp.take_along_axis(
+        tokens, best[:, None, None], axis=1)[:, 0]
+    best_lp = jnp.take_along_axis(cum_lp, best[:, None], axis=1)[:, 0]
+    best_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    return best_tokens, best_lp, best_len, prefill_logits

@@ -41,6 +41,8 @@ class DecodingOptions:
     temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
     initial_prompt: Optional[str] = None
     max_new_tokens: int = 224
+    beam_size: int = 1           # faster-whisper/WhisperX default is 5
+    length_penalty: float = 1.0
     suppress_blank: bool = True
     suppress_non_speech: bool = True
     without_timestamps: bool = True
@@ -216,11 +218,18 @@ class BatchDecoder:
         b = int(xa.shape[0])
         max_new = min(self.opts.max_new_tokens,
                       self.cfg.n_text_ctx - len(prefix) - 1)
-        tokens, sum_lp, lengths, prefill_logits = greedy_decode_jit(
-            self.params, xa, jnp.asarray(prefix), self._suppress,
-            self._blank, jnp.float32(temperature),
-            jax.random.PRNGKey(self.opts.seed),
-            tk.special.eot, self.cfg, max_new)
+        if self.opts.beam_size > 1 and temperature == 0.0:
+            from .beam import beam_decode_jit
+            tokens, sum_lp, lengths, prefill_logits = beam_decode_jit(
+                self.params, xa, jnp.asarray(prefix), self._suppress,
+                self._blank, tk.special.eot, self.cfg, max_new,
+                self.opts.beam_size, self.opts.length_penalty)
+        else:
+            tokens, sum_lp, lengths, prefill_logits = greedy_decode_jit(
+                self.params, xa, jnp.asarray(prefix), self._suppress,
+                self._blank, jnp.float32(temperature),
+                jax.random.PRNGKey(self.opts.seed),
+                tk.special.eot, self.cfg, max_new)
         no_speech = _no_speech_probs(prefill_logits, sot_index,
                                      tk.special.no_speech)
         tokens = np.asarray(tokens)

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.quant import mm
+
 Params = Dict[str, Any]
 
 
@@ -206,9 +208,9 @@ def _merge_heads(x):
 def _qkv(x, attn, xa=None):
     """Project q from x and k,v from xa (or x for self-attention)."""
     src = x if xa is None else xa
-    q = x @ attn["q_w"] + attn["q_b"]
-    k = src @ attn["k_w"]
-    v = src @ attn["v_w"] + attn["v_b"]
+    q = mm(x, attn["q_w"]) + attn["q_b"]
+    k = mm(src, attn["k_w"])
+    v = mm(src, attn["v_w"]) + attn["v_b"]
     return q, k, v
 
 
@@ -233,9 +235,9 @@ def _sdpa(q, k, v, n_head, mask=None, use_flash=False):
 
 
 def _mlp(x, mlp):
-    h = x @ mlp["fc1_w"] + mlp["fc1_b"]
+    h = mm(x, mlp["fc1_w"]) + mlp["fc1_b"]
     h = jax.nn.gelu(h, approximate=False)
-    return h @ mlp["fc2_w"] + mlp["fc2_b"]
+    return mm(h, mlp["fc2_w"]) + mlp["fc2_b"]
 
 
 # -- encoder -----------------------------------------------------------------
@@ -267,8 +269,8 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
         h = carry
         a_in = _layer_norm(h, blk["ln1"])
         q, k, v = _qkv(a_in, blk["attn"])
-        h = h + (_sdpa(q, k, v, n_head, use_flash=use_flash)
-                 @ blk["attn"]["o_w"] + blk["attn"]["o_b"])
+        h = h + (mm(_sdpa(q, k, v, n_head, use_flash=use_flash),
+                    blk["attn"]["o_w"]) + blk["attn"]["o_b"])
         m_in = _layer_norm(h, blk["ln2"])
         h = h + _mlp(m_in, blk["mlp"])
         return h, None
@@ -289,8 +291,8 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
     n_head = cfg.n_text_head
 
     def layer_kv(_, blk):
-        k = _split_heads(xa @ blk["xattn"]["k_w"], n_head)
-        v = _split_heads(xa @ blk["xattn"]["v_w"] + blk["xattn"]["v_b"],
+        k = _split_heads(mm(xa, blk["xattn"]["k_w"]), n_head)
+        v = _split_heads(mm(xa, blk["xattn"]["v_w"]) + blk["xattn"]["v_b"],
                          n_head)
         return None, (k, v)
 
@@ -310,7 +312,8 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
 def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, x_k, x_v):
     """One decoder block given explicit self-attn K/V and cross K/V."""
     a_in = _layer_norm(h, blk["ln1"])
-    q = _split_heads(a_in @ blk["attn"]["q_w"] + blk["attn"]["q_b"], n_head)
+    q = _split_heads(mm(a_in, blk["attn"]["q_w"]) + blk["attn"]["q_b"],
+                     n_head)
     dh = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, self_k,
                         preferred_element_type=jnp.float32) * dh ** -0.5
@@ -318,16 +321,16 @@ def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, x_k, x_v):
         scores = scores + self_mask
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     attn_out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, self_v))
-    h = h + (attn_out @ blk["attn"]["o_w"] + blk["attn"]["o_b"])
+    h = h + (mm(attn_out, blk["attn"]["o_w"]) + blk["attn"]["o_b"])
 
     x_in = _layer_norm(h, blk["lnx"])
-    xq = _split_heads(x_in @ blk["xattn"]["q_w"] + blk["xattn"]["q_b"],
+    xq = _split_heads(mm(x_in, blk["xattn"]["q_w"]) + blk["xattn"]["q_b"],
                       n_head)
     xscores = jnp.einsum("bhqd,bhkd->bhqk", xq, x_k,
                          preferred_element_type=jnp.float32) * dh ** -0.5
     xprobs = jax.nn.softmax(xscores, axis=-1).astype(xq.dtype)
     xout = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", xprobs, x_v))
-    h = h + (xout @ blk["xattn"]["o_w"] + blk["xattn"]["o_b"])
+    h = h + (mm(xout, blk["xattn"]["o_w"]) + blk["xattn"]["o_b"])
 
     m_in = _layer_norm(h, blk["ln2"])
     h = h + _mlp(m_in, blk["mlp"])
@@ -372,9 +375,9 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
         h = carry
         blk, ck, cv, xk, xv = scanned
         a_in = _layer_norm(h, blk["ln1"])
-        new_k = _split_heads(a_in @ blk["attn"]["k_w"], n_head)
-        new_v = _split_heads(a_in @ blk["attn"]["v_w"] + blk["attn"]["v_b"],
-                             n_head)
+        new_k = _split_heads(mm(a_in, blk["attn"]["k_w"]), n_head)
+        new_v = _split_heads(mm(a_in, blk["attn"]["v_w"])
+                             + blk["attn"]["v_b"], n_head)
         ck = jax.lax.dynamic_update_slice(
             ck, new_k.astype(ck.dtype), (0, 0, pos_offset, 0))
         cv = jax.lax.dynamic_update_slice(
@@ -418,9 +421,9 @@ def decode_step(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
         h = carry
         blk, ck, cv, xk, xv = scanned
         a_in = _layer_norm(h, blk["ln1"])
-        new_k = _split_heads(a_in @ blk["attn"]["k_w"], n_head)
-        new_v = _split_heads(a_in @ blk["attn"]["v_w"] + blk["attn"]["v_b"],
-                             n_head)
+        new_k = _split_heads(mm(a_in, blk["attn"]["k_w"]), n_head)
+        new_v = _split_heads(mm(a_in, blk["attn"]["v_w"])
+                             + blk["attn"]["v_b"], n_head)
         ck = jax.lax.dynamic_update_slice(
             ck, new_k.astype(ck.dtype), (0, 0, pos, 0))
         cv = jax.lax.dynamic_update_slice(

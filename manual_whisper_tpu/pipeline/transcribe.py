@@ -206,9 +206,10 @@ def load_model(name: str = "large-v3",
     """whisperx.load_model-compatible entry (reference: transcribe.py:107-113).
 
     ``device`` is accepted for surface compatibility and ignored — JAX
-    places computation on the available TPU/CPU.  ``compute_type`` maps
-    int8/float16/bfloat16/float32 onto JAX dtypes (int8 weight quantisation
-    reuses bf16 compute until the quantised matmul path lands).
+    places computation on the available TPU/CPU.  ``compute_type``:
+    bfloat16 (default; float16 maps here — bf16 is the TPU-native half),
+    float32, or int8 (CT2-int8 parity: symmetric per-channel weight-only
+    quantization of all block matmuls, ops/quant.py).
     """
     dtype = {"int8": jnp.bfloat16, "float16": jnp.bfloat16,
              "bfloat16": jnp.bfloat16, "float32": jnp.float32,
@@ -239,6 +240,10 @@ def load_model(name: str = "large-v3",
     else:
         raise KeyError(f"unknown model {name!r}; options: "
                        f"{sorted(MODEL_CONFIGS)} or a checkpoint path")
+
+    if compute_type == "int8":
+        from ..ops.quant import quantize_params
+        params = quantize_params(params)
 
     vad_opts = VadOptions(**vad_options) if vad_options else VadOptions()
     return TranscribePipeline(params, cfg, tokenizer,
