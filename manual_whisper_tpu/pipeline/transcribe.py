@@ -130,6 +130,23 @@ class TranscribePipeline:
             audio = load_audio(audio)
         audio = np.asarray(audio, np.float32)
 
+        # optional profiler trace (SURVEY.md §5 tracing parity: the
+        # reference has step timers; we add jax.profiler on request)
+        trace_dir = config.get_env("MWX_PROFILE")
+        if trace_dir:
+            import contextlib
+            trace_cm = jax.profiler.trace(trace_dir)
+        else:
+            import contextlib
+            trace_cm = contextlib.nullcontext()
+        with trace_cm:
+            return self._transcribe_impl(
+                audio, batch_size, language, chunk_size, temperature,
+                progress_callback, verbose)
+
+    def _transcribe_impl(self, audio, batch_size, language, chunk_size,
+                         temperature, progress_callback, verbose) -> dict:
+
         def report(pct, msg):
             if progress_callback:
                 progress_callback(pct, msg)
