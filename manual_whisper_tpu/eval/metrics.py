@@ -1,0 +1,173 @@
+"""Accuracy metrics: WER / CER / DER.
+
+BASELINE.json's parity targets are "WER + DER parity vs WhisperX"; the
+reference publishes no numbers and ships no evaluation code (SURVEY.md §6),
+so the metric implementations live here and the harness
+(tools/run_parity.py) runs them whenever converted weights + reference
+audio are available.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def _edit_distance(ref: Sequence, hyp: Sequence) -> int:
+    """Levenshtein distance (iterative DP, O(len(ref)*len(hyp)))."""
+    n, m = len(ref), len(hyp)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        r = ref[i - 1]
+        for j in range(1, m + 1):
+            cost = 0 if r == hyp[j - 1] else 1
+            cur[j] = min(prev[j] + 1,        # deletion
+                         cur[j - 1] + 1,     # insertion
+                         prev[j - 1] + cost)  # substitution
+        prev = cur
+    return prev[m]
+
+
+_WORD_RE = re.compile(r"[\w']+", re.UNICODE)
+_PUNct_RE = re.compile(r"[^\w\s一-鿿]", re.UNICODE)
+
+
+def _normalize(text: str) -> str:
+    return _PUNct_RE.sub(" ", (text or "").lower()).strip()
+
+
+def wer(reference: str, hypothesis: str) -> float:
+    """Word error rate over whitespace/word tokens (latin-script styles)."""
+    ref = _normalize(reference).split()
+    hyp = _normalize(hypothesis).split()
+    if not ref:
+        return 0.0 if not hyp else 1.0
+    return _edit_distance(ref, hyp) / len(ref)
+
+
+def cer(reference: str, hypothesis: str) -> float:
+    """Character error rate (the WER analogue for zh/ja/ko scripts)."""
+    ref = [c for c in _normalize(reference) if not c.isspace()]
+    hyp = [c for c in _normalize(hypothesis) if not c.isspace()]
+    if not ref:
+        return 0.0 if not hyp else 1.0
+    return _edit_distance(ref, hyp) / len(ref)
+
+
+# ---------------------------------------------------------------------------
+# Diarization error rate
+# ---------------------------------------------------------------------------
+
+def _hungarian(cost: np.ndarray) -> List[Tuple[int, int]]:
+    """Minimal-cost assignment (O(n^3) Hungarian; speaker counts are tiny)."""
+    cost = np.asarray(cost, np.float64)
+    n = max(cost.shape)
+    padded = np.full((n, n), cost.max() + 1.0 if cost.size else 1.0)
+    padded[: cost.shape[0], : cost.shape[1]] = cost
+
+    u = np.zeros(n + 1)
+    v = np.zeros(n + 1)
+    p = np.zeros(n + 1, np.int64)
+    way = np.zeros(n + 1, np.int64)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, np.inf)
+        used = np.zeros(n + 1, bool)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = p[j0], np.inf, 0
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = padded[i0 - 1, j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    pairs = []
+    for j in range(1, n + 1):
+        i = int(p[j])
+        if i >= 1 and i - 1 < cost.shape[0] and j - 1 < cost.shape[1]:
+            pairs.append((i - 1, j - 1))
+    return pairs
+
+
+def der(reference: Sequence[dict], hypothesis: Sequence[dict],
+        collar: float = 0.25, frame: float = 0.01) -> float:
+    """Diarization error rate with optimal speaker mapping.
+
+    Segments: [{start, end, speaker}].  Frame-based scoring at ``frame``
+    resolution with a +-collar no-score zone around reference boundaries
+    (standard NIST-style scoring).  DER = (miss + false alarm + speaker
+    confusion) / reference speech time.
+    """
+    if not reference:
+        return 0.0 if not hypothesis else 1.0
+    end_time = max(max(s["end"] for s in reference),
+                   max((s["end"] for s in hypothesis), default=0.0))
+    n = int(np.ceil(end_time / frame)) + 1
+
+    ref_spk = sorted({s["speaker"] for s in reference})
+    hyp_spk = sorted({s["speaker"] for s in hypothesis})
+    ref_act = np.zeros((len(ref_spk), n), bool)
+    hyp_act = np.zeros((len(hyp_spk), n), bool)
+    for s in reference:
+        ref_act[ref_spk.index(s["speaker"]),
+                int(s["start"] / frame): int(s["end"] / frame)] = True
+    for s in hypothesis:
+        hyp_act[hyp_spk.index(s["speaker"]),
+                int(s["start"] / frame): int(s["end"] / frame)] = True
+
+    # collar: exclude frames near reference boundaries
+    score_mask = np.ones(n, bool)
+    half = int(collar / frame)
+    for s in reference:
+        for t in (s["start"], s["end"]):
+            c = int(t / frame)
+            score_mask[max(0, c - half): c + half] = False
+
+    # optimal speaker mapping by overlap (maximize agreement)
+    overlap = (ref_act[:, None, :] & hyp_act[None, :, :]).sum(-1)
+    pairs = _hungarian(-overlap.astype(np.float64))
+    mapping: Dict[int, int] = {h: r for r, h in pairs}
+
+    ref_any = ref_act.any(0) & score_mask
+    hyp_any = hyp_act.any(0) & score_mask
+    miss = float((ref_any & ~hyp_any).sum())
+    fa = float((~ref_any & hyp_any).sum())
+
+    confusion = 0.0
+    both = ref_any & hyp_any
+    for f in np.nonzero(both)[0]:
+        ref_here = {i for i in range(len(ref_spk)) if ref_act[i, f]}
+        hyp_here = {mapping.get(j, -1) for j in range(len(hyp_spk))
+                    if hyp_act[j, f]}
+        if not (ref_here & hyp_here):
+            confusion += 1.0
+
+    total_ref = float(ref_any.sum())
+    if total_ref == 0:
+        return 0.0 if fa == 0 else 1.0
+    return (miss + fa + confusion) / total_ref

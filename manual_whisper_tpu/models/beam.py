@@ -103,15 +103,17 @@ def _beam_step(params, cfg, token, pos, cache, cross_kv):
     return logits, (new_ck, new_cv)
 
 
-@partial(jax.jit, static_argnames=("eot", "cfg", "max_new", "beam_size"))
+@partial(jax.jit, static_argnames=("eot", "cfg", "max_new", "beam_size",
+                                   "sot_index", "no_speech_token"))
 def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
                     suppress_mask: jnp.ndarray, blank_mask: jnp.ndarray,
                     eot: int, cfg: WhisperConfig, max_new: int,
-                    beam_size: int, length_penalty: float = 1.0):
+                    beam_size: int, length_penalty: float = 1.0,
+                    sot_index: int = 0, no_speech_token: int = 0):
     """Beam search over a batch of encoded segments.
 
     Returns (tokens [B, max_new] of the best hypothesis, sum_logprobs [B],
-    lengths [B], prefill_logits [B, P, V]).
+    lengths [B], no_speech_probs [B]).
     """
     b = xa.shape[0]
     p = prefix.shape[0]
@@ -184,4 +186,6 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
         tokens, best[:, None, None], axis=1)[:, 0]
     best_lp = jnp.take_along_axis(cum_lp, best[:, None], axis=1)[:, 0]
     best_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
-    return best_tokens, best_lp, best_len, prefill_logits
+    no_speech = jax.nn.softmax(
+        prefill_logits[:, sot_index, :], axis=-1)[:, no_speech_token]
+    return best_tokens, best_lp, best_len, no_speech

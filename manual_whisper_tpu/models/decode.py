@@ -83,18 +83,21 @@ def build_blank_mask(tokenizer: WhisperTokenizer, cfg: WhisperConfig
     return mask
 
 
-@partial(jax.jit, static_argnames=("eot", "cfg", "max_new"))
+@partial(jax.jit, static_argnames=("eot", "cfg", "max_new", "sot_index",
+                                   "no_speech_token"))
 def greedy_decode_jit(params: Params, xa: jnp.ndarray,
                       prefix: jnp.ndarray, suppress_mask: jnp.ndarray,
                       blank_mask: jnp.ndarray, temperature: jnp.ndarray,
                       rng: jnp.ndarray,
-                      eot: int, cfg: WhisperConfig, max_new: int):
+                      eot: int, cfg: WhisperConfig, max_new: int,
+                      sot_index: int = 0, no_speech_token: int = 0):
     """Prefill + decode loop, one compiled program.
 
     xa [B, Ta, d]; prefix [P] shared prompt (identical across the batch —
     the reference uses one initial_prompt per job, transcribe.py:111).
     Returns (tokens [B, max_new], sum_logprobs [B], lengths [B],
-    no_speech_probs [B]).
+    no_speech_probs [B]).  no-speech prob is read inside the program (the
+    full prefill logits never leave the device).
     """
     b = xa.shape[0]
     p = prefix.shape[0]
@@ -154,15 +157,10 @@ def greedy_decode_jit(params: Params, xa: jnp.ndarray,
     tokens, _, _, _, _, sum_lp, lengths, _ = jax.lax.while_loop(
         cond, body, state)
 
-    # no-speech probability is measured by the caller from the SOT slot of
-    # prefill_logits (the logits that predict the token following SOT).
-    return tokens, sum_lp, lengths, prefill_logits
-
-
-def _no_speech_probs(prefill_logits: jnp.ndarray, sot_index: int,
-                     no_speech_token: int) -> np.ndarray:
-    probs = jax.nn.softmax(prefill_logits[:, sot_index, :], axis=-1)
-    return np.asarray(probs[:, no_speech_token])
+    # no-speech probability: softmax at the SOT slot of the prefill
+    no_speech = jax.nn.softmax(
+        prefill_logits[:, sot_index, :], axis=-1)[:, no_speech_token]
+    return tokens, sum_lp, lengths, no_speech
 
 
 def compression_ratio(text: str) -> float:
@@ -220,21 +218,22 @@ class BatchDecoder:
                       self.cfg.n_text_ctx - len(prefix) - 1)
         if self.opts.beam_size > 1 and temperature == 0.0:
             from .beam import beam_decode_jit
-            tokens, sum_lp, lengths, prefill_logits = beam_decode_jit(
+            out = beam_decode_jit(
                 self.params, xa, jnp.asarray(prefix), self._suppress,
                 self._blank, tk.special.eot, self.cfg, max_new,
-                self.opts.beam_size, self.opts.length_penalty)
+                self.opts.beam_size, self.opts.length_penalty,
+                sot_index=sot_index,
+                no_speech_token=tk.special.no_speech)
         else:
-            tokens, sum_lp, lengths, prefill_logits = greedy_decode_jit(
+            out = greedy_decode_jit(
                 self.params, xa, jnp.asarray(prefix), self._suppress,
                 self._blank, jnp.float32(temperature),
                 jax.random.PRNGKey(self.opts.seed),
-                tk.special.eot, self.cfg, max_new)
-        no_speech = _no_speech_probs(prefill_logits, sot_index,
-                                     tk.special.no_speech)
-        tokens = np.asarray(tokens)
-        sum_lp = np.asarray(sum_lp)
-        lengths = np.asarray(lengths)
+                tk.special.eot, self.cfg, max_new,
+                sot_index=sot_index,
+                no_speech_token=tk.special.no_speech)
+        # one device->host round trip for all outputs
+        tokens, sum_lp, lengths, no_speech = jax.device_get(out)
 
         results = []
         for i in range(b):

@@ -49,9 +49,12 @@ def energy_vad_probs(audio: np.ndarray, hop: int = 160,
     n_frames = max(0, (len(audio) - win) // hop + 1)
     if n_frames == 0:
         return np.zeros(0, np.float32), hop / SAMPLE_RATE
-    idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = audio[idx]
-    energy = np.log10(np.mean(frames ** 2, axis=1) + 1e-10)
+    # O(n) sliding energy via cumulative sum (a [n_frames, win] gather
+    # costs ~150 MB of indices per hour of audio)
+    csum = np.concatenate([[0.0], np.cumsum(audio.astype(np.float64) ** 2)])
+    starts = hop * np.arange(n_frames)
+    frame_energy = (csum[starts + win] - csum[starts]) / win
+    energy = np.log10(frame_energy + 1e-10)
     padded = np.pad(energy, 2, mode="edge")
     smooth = np.convolve(padded, np.ones(5) / 5, mode="valid")
     floor = np.percentile(smooth, 10)
@@ -333,19 +336,31 @@ def binarize(probs: np.ndarray, frame_duration: float,
     (< min_duration_off) are filled and short regions (< min_duration_on)
     dropped."""
     probs = np.asarray(probs, np.float32)
-    regions: List[Tuple[float, float]] = []
-    active = False
-    start = 0.0
-    for i, p in enumerate(probs):
-        t = i * frame_duration
-        if not active and p > opts.vad_onset:
-            active = True
-            start = t
-        elif active and p < opts.vad_offset:
-            regions.append((start, t))
-            active = False
-    if active:
-        regions.append((start, len(probs) * frame_duration))
+    n = len(probs)
+    if n == 0:
+        return []
+    # vectorised hysteresis: active state = (most recent onset/offset event
+    # was an onset).  Python-loop version cost ~4 s per hour of audio.
+    events = np.zeros(n, np.int8)
+    events[probs > opts.vad_onset] = 1
+    events[probs < opts.vad_offset] = -1
+    idx = np.arange(n)
+    has_event = events != 0
+    last_event_idx = np.maximum.accumulate(np.where(has_event, idx, -1))
+    active = np.zeros(n, bool)
+    valid = last_event_idx >= 0
+    active[valid] = events[last_event_idx[valid]] == 1
+
+    edges = np.diff(active.astype(np.int8))
+    starts = list(np.nonzero(edges == 1)[0] + 1)
+    ends = list(np.nonzero(edges == -1)[0] + 1)
+    if active[0]:
+        starts.insert(0, 0)
+    if active[-1]:
+        ends.append(n)
+    regions: List[Tuple[float, float]] = [
+        (s * frame_duration, e * frame_duration)
+        for s, e in zip(starts, ends)]
 
     if opts.pad_onset or opts.pad_offset:
         regions = [(max(0.0, s - opts.pad_onset), e + opts.pad_offset)

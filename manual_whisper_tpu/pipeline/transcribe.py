@@ -13,6 +13,7 @@ Keeps the whisperx-like surface so the CLI reads the same:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from pathlib import Path
@@ -37,6 +38,18 @@ ProgressFn = Callable[[float, str], None]
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_mels", "use_flash",
+                                             "use_pallas"))
+def _encode_windows_jit(params, audio_i16, cfg, n_mels, use_flash,
+                        use_pallas):
+    """One fused device program per batch: int16 dequant -> log-mel ->
+    encoder.  Audio ships to the device as int16 (native PCM width),
+    halving host->device bytes; one dispatch instead of three."""
+    audio = audio_i16.astype(jnp.float32) * (1.0 / 32768.0)
+    mel = log_mel_spectrogram(audio, n_mels=n_mels, use_pallas=use_pallas)
+    return encode(params, mel, cfg, use_flash=use_flash)
 
 
 @dataclasses.dataclass
@@ -90,11 +103,21 @@ class TranscribePipeline:
     def _features(self, windows: np.ndarray) -> jnp.ndarray:
         """[B, window] -> [B, n_mels, frames]; fused Pallas kernel on TPU,
         XLA path elsewhere."""
+        return log_mel_spectrogram(windows, n_mels=self.cfg.n_mels,
+                                   use_pallas=self._use_pallas(windows))
+
+    def _use_pallas(self, windows: np.ndarray) -> bool:
         from ..ops.mel_pallas import FRAME_BLOCK
         n_frames = windows.shape[-1] // 160
-        use_pallas = _on_tpu() and n_frames % FRAME_BLOCK == 0
-        return log_mel_spectrogram(windows, n_mels=self.cfg.n_mels,
-                                   use_pallas=use_pallas)
+        return _on_tpu() and n_frames % FRAME_BLOCK == 0
+
+    def _encode_windows(self, windows: np.ndarray) -> jnp.ndarray:
+        """Host float windows -> encoder states, one fused device call with
+        int16 transfer."""
+        audio_i16 = np.clip(windows * 32768.0, -32768, 32767).astype(np.int16)
+        return _encode_windows_jit(self.params, audio_i16, self.cfg,
+                                   self.cfg.n_mels, _on_tpu(),
+                                   self._use_pallas(windows))
 
     # -- public API ----------------------------------------------------------
     def detect_language(self, audio: np.ndarray) -> str:
@@ -173,9 +196,11 @@ class TranscribePipeline:
                                window_samples=self.window_samples)
         segments: List[dict] = []
         t0 = time.time()
+        # submit every encode first: JAX dispatch is async, so encoder
+        # compute for batch i+1 overlaps host work / fetches of batch i
+        encoded = [self._encode_windows(w) for w, _ in batches]
         for bi, (windows, group) in enumerate(batches):
-            mel = self._features(windows)
-            xa = encode(self.params, mel, self.cfg, use_flash=_on_tpu())
+            xa = encoded[bi]
             results = decoder.decode_with_fallback(xa)
             for ch, res in zip(group, results):
                 if decoder.is_no_speech(res):
