@@ -63,8 +63,8 @@ def build_suppress_mask(tokenizer: WhisperTokenizer, cfg: WhisperConfig,
     suppress.add(sp.transcribe)
     if opts.suppress_non_speech:
         suppress.update(tokenizer.non_speech_tokens())
+    suppress.add(sp.no_timestamps)   # never a valid generation
     if opts.without_timestamps:
-        suppress.add(sp.no_timestamps)
         mask[sp.timestamp_begin:] = -np.inf
     for t in suppress:
         if t < cfg.n_vocab:
@@ -247,6 +247,32 @@ class BatchDecoder:
                 compression_ratio=compression_ratio(text),
                 temperature=temperature))
         return results
+
+    def decode_with_timestamps(self, xa: jnp.ndarray,
+                               chunk_starts: Sequence[float],
+                               chunk_durations: Sequence[float]
+                               ) -> List[List[dict]]:
+        """Timestamp-rule greedy decode -> per-row sub-segment lists
+        (the without_timestamps=False mode; models/timestamps.py)."""
+        from .timestamps import (greedy_timestamps_jit,
+                                 split_segments_by_timestamps)
+        tk = self.tokenizer
+        ts_opts = dataclasses.replace(self.opts, without_timestamps=False)
+        suppress = jnp.asarray(build_suppress_mask(tk, self.cfg, ts_opts))
+        prefix = np.asarray(
+            tk.sot_sequence(self.opts.language, self.opts.task,
+                            without_timestamps=False), np.int32)
+        max_new = min(self.opts.max_new_tokens,
+                      self.cfg.n_text_ctx - len(prefix) - 1)
+        tokens, _, _ = jax.device_get(greedy_timestamps_jit(
+            self.params, xa, jnp.asarray(prefix), suppress,
+            tk.special.eot, tk.special.timestamp_begin, self.cfg, max_new))
+        return [
+            split_segments_by_timestamps(tokens[i], tk,
+                                         float(chunk_starts[i]),
+                                         float(chunk_durations[i]))
+            for i in range(len(chunk_starts))
+        ]
 
     def _needs_fallback(self, r: SegmentResult) -> bool:
         o = self.opts

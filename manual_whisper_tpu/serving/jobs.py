@@ -84,12 +84,20 @@ class RateLimiter:
 
 
 class JobStore:
-    """Owns jobs, rate limits and the single-worker executor."""
+    """Owns jobs, rate limits and the single-worker executor.
+
+    With ``state_dir`` (or $MWX_JOB_STATE_DIR) set, finished jobs persist
+    as JSON and survive server restarts — the reference loses every job on
+    a cold start (in-memory globalThis state, SURVEY.md §5
+    checkpoint/resume: "a dead poll = lost job"); this closes that gap.
+    In-flight jobs are not resumed (the poll contract reports them failed).
+    """
 
     def __init__(self, backend: InferenceBackend,
                  post_limit: Optional[int] = None,
                  get_limit: Optional[int] = None,
-                 max_active_per_ip: Optional[int] = None):
+                 max_active_per_ip: Optional[int] = None,
+                 state_dir: Optional[str] = None):
         self.backend = backend
         self.post_limit = post_limit if post_limit is not None else \
             config.get_int("POST_RATE_LIMIT_PER_MIN", 6)
@@ -103,8 +111,64 @@ class JobStore:
         self.active_by_ip: Dict[str, Set[str]] = {}
         self._lock = threading.Lock()
         self._queue: "queue.Queue[str]" = queue.Queue()
+
+        state_dir = state_dir or config.get_env("MWX_JOB_STATE_DIR")
+        self.state_dir = None
+        if state_dir:
+            from pathlib import Path
+            self.state_dir = Path(state_dir)
+            self.state_dir.mkdir(parents=True, exist_ok=True)
+            self._restore_state()
+
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    # -- persistence -----------------------------------------------------------
+    def _persist(self, job: Job) -> None:
+        if self.state_dir is None:
+            return
+        import json
+        payload = {
+            "id": job.id, "ip": job.ip, "language": job.language,
+            "audio_path": job.audio_path,
+            "source_filename": job.source_filename,
+            "status": job.status, "logs": job.logs[-50:],
+            "output": job.output, "error": job.error,
+            "created_at": job.created_at, "started_at": job.started_at,
+            "finished_at": job.finished_at,
+        }
+        tmp = self.state_dir / f".{job.id}.tmp"
+        tmp.write_text(json.dumps(payload, ensure_ascii=False),
+                       encoding="utf-8")
+        tmp.replace(self.state_dir / f"{job.id}.json")
+
+    def _restore_state(self) -> None:
+        import json
+        now = time.time()
+        for path in sorted(self.state_dir.glob("*.json")):
+            try:
+                data = json.loads(path.read_text(encoding="utf-8"))
+            except (ValueError, OSError):
+                continue
+            if now - data.get("created_at", 0) > META_TTL_SEC:
+                path.unlink(missing_ok=True)
+                continue
+            job = Job(id=data["id"], ip=data["ip"],
+                      language=data.get("language", "zh"),
+                      audio_path=data.get("audio_path", ""),
+                      source_filename=data.get("source_filename", ""),
+                      status=data.get("status", "failed"),
+                      logs=data.get("logs", []),
+                      output=data.get("output"),
+                      error=data.get("error"),
+                      created_at=data.get("created_at", now))
+            job.started_at = data.get("started_at")
+            job.finished_at = data.get("finished_at")
+            if job.status in ("starting", "processing"):
+                # interrupted by the restart: surface as failed
+                job.status = "failed"
+                job.error = "server restarted while the job was running"
+            self.jobs[job.id] = job
 
     # -- lifecycle -----------------------------------------------------------
     def prune(self, now: Optional[float] = None) -> None:
@@ -116,6 +180,8 @@ class JobStore:
             for jid in dead:
                 job = self.jobs.pop(jid)
                 self.active_by_ip.get(job.ip, set()).discard(jid)
+                if self.state_dir is not None:
+                    (self.state_dir / f"{jid}.json").unlink(missing_ok=True)
 
     def active_count(self, ip: str) -> int:
         with self._lock:
@@ -130,6 +196,7 @@ class JobStore:
         with self._lock:
             self.jobs[job.id] = job
             self.active_by_ip.setdefault(ip, set()).add(job.id)
+        self._persist(job)
         self._queue.put(job.id)
         return job
 
@@ -171,6 +238,7 @@ class JobStore:
                 traceback.print_exc()
             finally:
                 job.finished_at = time.time()
+                self._persist(job)
 
 
 class PipelineBackend:

@@ -315,3 +315,37 @@ def test_second_pass_through_server(server, tmp_path):
     texts = [s["text"] for s in out["output"]["json"]["segments"]]
     assert "补回的片段" in texts
     assert out["output"]["json"]["second_pass"]["recovered_segments"] == 1
+
+
+def test_job_state_persistence(tmp_path):
+    """Finished jobs survive a JobStore restart; interrupted ones surface
+    as failed (closes the reference's lost-job gap, SURVEY §5)."""
+    import time as _time
+    from manual_whisper_tpu.serving.jobs import JobStore
+
+    state_dir = tmp_path / "jobs"
+    backend = MockBackend()
+    store = JobStore(backend, state_dir=str(state_dir))
+    job = store.create("1.2.3.4", "/tmp/a.wav", "zh")
+    deadline = _time.time() + 5
+    while job.status not in ("succeeded", "failed"):
+        assert _time.time() < deadline
+        _time.sleep(0.05)
+    assert job.status == "succeeded"
+
+    # simulate a crash mid-job: write a processing-state record
+    crashed = store.create("1.2.3.4", "/tmp/b.wav", "zh")
+    while crashed.status == "starting":
+        _time.sleep(0.02)
+    crashed.status = "processing"
+    store._persist(crashed)
+
+    restarted = JobStore(backend, state_dir=str(state_dir))
+    restored = restarted.get(job.id)
+    assert restored is not None
+    assert restored.status == "succeeded"
+    assert restored.output["segments"]
+    assert restored.ip == "1.2.3.4"
+    interrupted = restarted.get(crashed.id)
+    assert interrupted.status == "failed"
+    assert "restarted" in interrupted.error

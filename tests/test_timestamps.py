@@ -1,0 +1,104 @@
+"""Timestamp-rule decoding tests (without_timestamps=False mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from manual_whisper_tpu.models import MODEL_CONFIGS, encode, init_params
+from manual_whisper_tpu.models.decode import BatchDecoder, DecodingOptions
+from manual_whisper_tpu.models.timestamps import split_segments_by_timestamps
+from manual_whisper_tpu.tokenizer import make_test_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = MODEL_CONFIGS["test"]
+    tk = make_test_tokenizer()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)
+                              ).astype(np.float32)
+    xa = encode(params, mel, cfg)
+    return params, cfg, tk, xa
+
+
+def test_timestamp_decode_obeys_rules(setup):
+    params, cfg, tk, xa = setup
+    dec = BatchDecoder(params, cfg, tk, DecodingOptions(
+        language="zh", temperatures=(0.0,), max_new_tokens=12))
+    from manual_whisper_tpu.models.timestamps import greedy_timestamps_jit
+    from manual_whisper_tpu.models.decode import build_suppress_mask
+    import dataclasses
+    import jax.numpy as jnp
+
+    ts_opts = dataclasses.replace(dec.opts, without_timestamps=False)
+    suppress = jnp.asarray(build_suppress_mask(tk, cfg, ts_opts))
+    prefix = np.asarray(tk.sot_sequence("zh", "transcribe", False), np.int32)
+    tokens, sum_lp, lengths = jax.device_get(greedy_timestamps_jit(
+        params, xa, jnp.asarray(prefix), suppress,
+        tk.special.eot, tk.special.timestamp_begin, cfg, 12))
+
+    sp = tk.special
+    for row in tokens:
+        seq = [int(t) for t in row]
+        # rule 1: begins with a timestamp within 1.0s
+        assert seq[0] >= sp.timestamp_begin
+        assert seq[0] <= sp.timestamp_begin + 50
+        # rule 3: timestamps monotone
+        ts = [t for t in seq if t >= sp.timestamp_begin and t != sp.eot]
+        assert ts == sorted(ts)
+        # rule 2: never three timestamps in a row before EOT
+        run = 0
+        for t in seq:
+            if t == sp.eot:
+                break
+            if t >= sp.timestamp_begin:
+                run += 1
+                assert run <= 2
+            else:
+                run = 0
+
+
+def test_decode_with_timestamps_segments(setup):
+    params, cfg, tk, xa = setup
+    dec = BatchDecoder(params, cfg, tk, DecodingOptions(
+        language="zh", temperatures=(0.0,), max_new_tokens=12))
+    segs = dec.decode_with_timestamps(xa, chunk_starts=[10.0, 40.0],
+                                      chunk_durations=[1.2, 1.2])
+    assert len(segs) == 2
+    for chunk_start, row in zip([10.0, 40.0], segs):
+        for s in row:
+            assert set(s) == {"text", "start", "end"}
+            assert chunk_start <= s["start"] <= s["end"]
+
+
+def test_split_segments_host_logic():
+    tk = make_test_tokenizer()
+    sp = tk.special
+    t = tk.timestamp_token
+    hello = tk.encode("hi")
+    there = tk.encode("yo")
+    tokens = ([t(0.0)] + hello + [t(1.0), t(1.5)] + there
+              + [t(2.0), sp.eot])
+    segs = split_segments_by_timestamps(np.asarray(tokens), tk,
+                                        chunk_start=100.0,
+                                        chunk_duration=30.0)
+    assert segs == [
+        {"text": "hi", "start": 100.0, "end": 101.0},
+        {"text": "yo", "start": 101.5, "end": 102.0},
+    ]
+
+
+def test_split_segments_unterminated_span():
+    tk = make_test_tokenizer()
+    t = tk.timestamp_token
+    tokens = [t(0.5)] + tk.encode("end")
+    segs = split_segments_by_timestamps(np.asarray(tokens), tk, 0.0, 30.0)
+    assert segs == [{"text": "end", "start": 0.5, "end": 30.0}]
+
+
+def test_split_segments_empty():
+    tk = make_test_tokenizer()
+    assert split_segments_by_timestamps(
+        np.asarray([tk.special.eot]), tk, 0.0, 30.0) == []
