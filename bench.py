@@ -41,11 +41,12 @@ def main() -> int:
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     seconds = int(os.environ.get("BENCH_SECONDS", "480"))
     max_new = int(os.environ.get("BENCH_MAX_NEW_TOKENS", "112"))
+    compute_type = os.environ.get("BENCH_COMPUTE_TYPE", "bfloat16")
 
     from manual_whisper_tpu.pipeline import load_model
 
     model = load_model(
-        model_name, language="zh",
+        model_name, language="zh", compute_type=compute_type,
         asr_options={"max_new_tokens": max_new})
     audio = synth_speech(seconds)
     duration = len(audio) / 16000.0
@@ -61,8 +62,10 @@ def main() -> int:
 
     rtf = duration / elapsed
     assert result["segments"], "pipeline produced no segments"
+    suffix = "" if compute_type == "bfloat16" else f"_{compute_type}"
     print(json.dumps({
-        "metric": f"rtf_{model_name.replace('-', '_')}_batch{batch_size}",
+        "metric": f"rtf_{model_name.replace('-', '_')}"
+                  f"_batch{batch_size}{suffix}",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 30.0, 3),

@@ -135,6 +135,74 @@ def init_embedding_params(key, cfg: EmbeddingConfig) -> Dict[str, Any]:
     }
 
 
+def convert_wespeaker_resnet(state_dict, cfg: EmbeddingConfig
+                             ) -> Dict[str, Any]:
+    """torchvision-style ResNet speaker checkpoint -> our pytree.
+
+    Expects wespeaker's ResNet34 naming (conv1/bn1, layerN.M.convK/bnK,
+    layerN.0.downsample.{0,1}, embedding linear at seg_1 or bottleneck),
+    optionally behind a prefix like ``resnet.`` (pyannote wrapping).
+    BatchNorm running stats fold into the inference-only _bn.
+    """
+    def npy(t):
+        import torch
+        return (t.detach().cpu().numpy()
+                if isinstance(t, torch.Tensor) else np.asarray(t))
+
+    sd = {k: npy(v) for k, v in state_dict.items()}
+    prefixes = ("", "resnet.", "speaker_encoder.", "model.")
+    prefix = next((p for p in prefixes if f"{p}conv1.weight" in sd), None)
+    if prefix is None:
+        raise KeyError("no conv1.weight found under known prefixes")
+
+    def g(name):
+        return sd[f"{prefix}{name}"]
+
+    def conv(name):
+        # torch conv2d [out, in, kh, kw] -> HWIO
+        return g(name).transpose(2, 3, 1, 0)
+
+    def bn(name):
+        return {"g": g(f"{name}.weight"), "b": g(f"{name}.bias"),
+                "mean": g(f"{name}.running_mean"),
+                "var": g(f"{name}.running_var")}
+
+    stages = []
+    for si in range(1, len(cfg.blocks) + 1):
+        stage = []
+        bi = 0
+        while f"{prefix}layer{si}.{bi}.conv1.weight" in sd:
+            blk = {
+                "conv1_w": conv(f"layer{si}.{bi}.conv1.weight"),
+                "bn1": bn(f"layer{si}.{bi}.bn1"),
+                "conv2_w": conv(f"layer{si}.{bi}.conv2.weight"),
+                "bn2": bn(f"layer{si}.{bi}.bn2"),
+            }
+            if f"{prefix}layer{si}.{bi}.downsample.0.weight" in sd:
+                blk["down_w"] = conv(f"layer{si}.{bi}.downsample.0.weight")
+                blk["down_bn"] = bn(f"layer{si}.{bi}.downsample.1")
+            stage.append(blk)
+            bi += 1
+        stages.append(stage)
+
+    emb_key = next(
+        (k for k in (f"{prefix}seg_1.weight", f"{prefix}bottleneck.weight",
+                     f"{prefix}embedding.weight") if k in sd), None)
+    if emb_key is None:
+        raise KeyError("no embedding linear (seg_1/bottleneck) found")
+    fc_w = sd[emb_key].T
+    fc_b_key = emb_key.replace("weight", "bias")
+    fc_b = sd.get(fc_b_key, np.zeros(fc_w.shape[1], np.float32))
+
+    return {
+        "stem_w": conv("conv1.weight"),
+        "stem_bn": bn("bn1"),
+        "stages": stages,
+        "fc_w": fc_w,
+        "fc_b": fc_b,
+    }
+
+
 def spectral_stats_embedding(audio: np.ndarray, n_mels: int = 40
                              ) -> np.ndarray:
     """Weightless fallback speaker signature: mean/std/delta statistics of

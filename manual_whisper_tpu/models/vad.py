@@ -277,18 +277,20 @@ def convert_pyannote_segmentation(state_dict) -> Dict:
                 if isinstance(t, torch.Tensor) else np.asarray(t))
 
     sd = {k: npy(v) for k, v in state_dict.items()}
+    # pyannote versions differ: nn.LSTM at "lstm." or wrapped at "lstm.lstm."
+    lstm_prefix = "lstm.lstm." if "lstm.lstm.weight_ih_l0" in sd else "lstm."
     lstm = []
     i = 0
-    while f"lstm.lstm.weight_ih_l{i}" in sd:
+    while f"{lstm_prefix}weight_ih_l{i}" in sd:
         lstm.append({
-            "w_ih": sd[f"lstm.lstm.weight_ih_l{i}"],
-            "w_hh": sd[f"lstm.lstm.weight_hh_l{i}"],
-            "b_ih": sd[f"lstm.lstm.bias_ih_l{i}"],
-            "b_hh": sd[f"lstm.lstm.bias_hh_l{i}"],
-            "w_ih_rev": sd[f"lstm.lstm.weight_ih_l{i}_reverse"],
-            "w_hh_rev": sd[f"lstm.lstm.weight_hh_l{i}_reverse"],
-            "b_ih_rev": sd[f"lstm.lstm.bias_ih_l{i}_reverse"],
-            "b_hh_rev": sd[f"lstm.lstm.bias_hh_l{i}_reverse"],
+            "w_ih": sd[f"{lstm_prefix}weight_ih_l{i}"],
+            "w_hh": sd[f"{lstm_prefix}weight_hh_l{i}"],
+            "b_ih": sd[f"{lstm_prefix}bias_ih_l{i}"],
+            "b_hh": sd[f"{lstm_prefix}bias_hh_l{i}"],
+            "w_ih_rev": sd[f"{lstm_prefix}weight_ih_l{i}_reverse"],
+            "w_hh_rev": sd[f"{lstm_prefix}weight_hh_l{i}_reverse"],
+            "b_ih_rev": sd[f"{lstm_prefix}bias_ih_l{i}_reverse"],
+            "b_hh_rev": sd[f"{lstm_prefix}bias_hh_l{i}_reverse"],
         })
         i += 1
     return {

@@ -131,3 +131,53 @@ def test_assign_word_speakers_fill_nearest():
     result = {"segments": [{"text": "远", "start": 5.0, "end": 6.0}]}
     out = assign_word_speakers(diarize_segments, result, fill_nearest=True)
     assert out["segments"][0]["speaker"] == "SPEAKER_00"
+
+
+def test_convert_wespeaker_resnet_contract():
+    """Converter consumes a torchvision-style ResNet state dict (wespeaker
+    naming) and the converted pytree runs through embed_forward."""
+    import torch
+    import torch.nn as nn
+
+    cfg = EmbeddingConfig.tiny_test()
+
+    def block(cin, cout, down):
+        layers = {"conv1": nn.Conv2d(cin, cout, 3, padding=1, bias=False),
+                  "bn1": nn.BatchNorm2d(cout),
+                  "conv2": nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+                  "bn2": nn.BatchNorm2d(cout)}
+        m = nn.ModuleDict(layers)
+        if down:
+            m["downsample"] = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, bias=False), nn.BatchNorm2d(cout))
+        return m
+
+    torch.manual_seed(0)
+    model = nn.ModuleDict({
+        "conv1": nn.Conv2d(1, cfg.channels[0], 3, padding=1, bias=False),
+        "bn1": nn.BatchNorm2d(cfg.channels[0]),
+    })
+    cin = cfg.channels[0]
+    for si, cout in enumerate(cfg.channels, start=1):
+        blocks = nn.ModuleList(
+            [block(cin if b == 0 else cout, cout,
+                   down=(b == 0 and (cin != cout or si > 1)))
+             for b in range(1)])
+        model[f"layer{si}"] = blocks
+        cin = cout
+    feat = (cfg.n_mels // 8) * cfg.channels[-1]
+    model["seg_1"] = torch.nn.Linear(2 * feat, cfg.embed_dim)
+
+    # flatten ModuleList naming to layerN.M....
+    sd = model.state_dict()
+    from manual_whisper_tpu.models.diarize import convert_wespeaker_resnet
+    params = convert_wespeaker_resnet(sd, cfg)
+    assert params["stem_w"].shape == (3, 3, 1, cfg.channels[0])
+    assert len(params["stages"]) == len(cfg.channels)
+
+    import numpy as np
+    feats = np.random.default_rng(0).standard_normal(
+        (1, 48, cfg.n_mels)).astype(np.float32)
+    emb = np.asarray(embed_forward(params, feats, cfg))
+    assert emb.shape == (1, cfg.embed_dim)
+    assert np.isfinite(emb).all()
