@@ -16,11 +16,15 @@ the reference publishes no numbers of its own, BASELINE.md).
 """
 
 import json
+import logging
 import os
 import sys
 import time
 
 os.environ.setdefault("MWX_ALLOW_RANDOM_WEIGHTS", "1")
+# keep stdout pure JSON: jax's experimental-platform warning goes to a
+# logger that must not interleave with the metric line
+logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
 
 import numpy as np
 

@@ -23,3 +23,28 @@ whole capability surface TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """whisperx-style top-level surface (lazy imports keep `import
+    manual_whisper_tpu` light): load_model, load_audio, load_align_model,
+    align, assign_word_speakers, DiarizationPipeline."""
+    if name == "load_model":
+        from .pipeline import load_model
+        return load_model
+    if name == "load_audio":
+        from .audio import load_audio
+        return load_audio
+    if name == "load_align_model":
+        from .models.align import load_align_model
+        return load_align_model
+    if name == "align":
+        from .models.align import align
+        return align
+    if name == "assign_word_speakers":
+        from .models.diarize import assign_word_speakers
+        return assign_word_speakers
+    if name == "DiarizationPipeline":
+        from .models.diarize import DiarizationPipeline
+        return DiarizationPipeline
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

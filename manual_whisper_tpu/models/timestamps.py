@@ -151,6 +151,9 @@ def split_segments_by_timestamps(tokens: np.ndarray,
     segments: List[dict] = []
     current_text: List[int] = []
     start_time = None
+
+    def clamp(t: float) -> float:
+        return min(max(t, 0.0), chunk_duration)
     for t in (int(x) for x in tokens):
         if t == sp.eot:
             break
@@ -164,8 +167,8 @@ def split_segments_by_timestamps(tokens: np.ndarray,
                 if text:
                     segments.append({
                         "text": text,
-                        "start": round(chunk_start + start_time, 3),
-                        "end": round(chunk_start + ts, 3),
+                        "start": round(chunk_start + clamp(start_time), 3),
+                        "end": round(chunk_start + clamp(ts), 3),
                     })
                 start_time = ts
                 current_text = []
@@ -176,7 +179,7 @@ def split_segments_by_timestamps(tokens: np.ndarray,
         if text:
             segments.append({
                 "text": text,
-                "start": round(chunk_start + start_time, 3),
+                "start": round(chunk_start + clamp(start_time), 3),
                 "end": round(chunk_start + chunk_duration, 3),
             })
     return segments

@@ -199,8 +199,24 @@ class TranscribePipeline:
         # submit every encode first: JAX dispatch is async, so encoder
         # compute for batch i+1 overlaps host work / fetches of batch i
         encoded = [self._encode_windows(w) for w, _ in batches]
+        use_ts = not self.asr_options.get("without_timestamps", True)
         for bi, (windows, group) in enumerate(batches):
             xa = encoded[bi]
+            if use_ts:
+                # timestamp-token mode: sub-chunk segments from the decoded
+                # timestamp pairs (no alignment checkpoint needed)
+                starts = [ch.start for ch in group]
+                durs = [ch.duration for ch in group]
+                pad = len(windows) - len(group)
+                starts += [0.0] * pad
+                durs += [0.0] * pad
+                per_row = decoder.decode_with_timestamps(xa, starts, durs)
+                for ch, row in zip(group, per_row):
+                    segments.extend(row)
+                pct = 5.0 + 95.0 * (bi + 1) / len(batches)
+                report(pct, f"transcribed batch {bi + 1}/{len(batches)} "
+                            f"({time.time() - t0:.1f}s)")
+                continue
             results = decoder.decode_with_fallback(xa)
             for ch, res in zip(group, results):
                 if decoder.is_no_speech(res):

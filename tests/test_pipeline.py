@@ -100,3 +100,28 @@ def test_load_model_guards_random_weights(monkeypatch):
     monkeypatch.setenv("MWX_ALLOW_RANDOM_WEIGHTS", "1")
     pipe = load_model("tiny", language="zh")
     assert pipe.cfg.name == "tiny"
+
+
+def test_transcribe_timestamp_mode():
+    """asr_options.without_timestamps=False -> sub-chunk segments from
+    timestamp tokens."""
+    pipe = load_model("test", language="zh",
+                      asr_options={"without_timestamps": False,
+                                   "max_new_tokens": 10})
+    result = pipe.transcribe(_speech_audio(), batch_size=2, language="zh",
+                             temperature=(0.0,))
+    for seg in result["segments"]:
+        assert set(seg) == {"text", "start", "end"}
+        assert 0 <= seg["start"] <= seg["end"] <= 4.0 + pipe.window_sec
+
+
+def test_whisperx_style_top_level_api():
+    import manual_whisper_tpu as mwx
+    assert callable(mwx.load_model)
+    assert callable(mwx.load_audio)
+    assert callable(mwx.load_align_model)
+    assert callable(mwx.align)
+    assert callable(mwx.assign_word_speakers)
+    assert callable(mwx.DiarizationPipeline)
+    with pytest.raises(AttributeError):
+        mwx.nonexistent_symbol
