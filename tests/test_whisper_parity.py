@@ -139,3 +139,21 @@ def test_prefill_then_steps_matches_full(hf_model_and_params):
                                     jnp.int32(t), cache, cross_kv, cfg)
         np.testing.assert_allclose(np.asarray(logits),
                                    np.asarray(full_logits[:, t]), atol=4e-3)
+
+
+def test_orbax_param_cache_roundtrip(tmp_path, hf_model_and_params):
+    """Converted-weight cache (convert.save_params/load_params) preserves
+    the pytree exactly (reference parity: one-time HF download cache)."""
+    _, params, cfg = hf_model_and_params
+    from manual_whisper_tpu.convert import load_params, save_params
+    path = tmp_path / "ckpt"
+    save_params(params, path)
+    restored = load_params(path)
+    assert restored is not None
+    import jax
+    flat_a, tree_a = jax.tree.flatten(params)
+    flat_b, tree_b = jax.tree.flatten(restored)
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert load_params(tmp_path / "missing") is None
