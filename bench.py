@@ -45,13 +45,18 @@ def main() -> int:
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     seconds = int(os.environ.get("BENCH_SECONDS", "480"))
     max_new = int(os.environ.get("BENCH_MAX_NEW_TOKENS", "112"))
-    compute_type = os.environ.get("BENCH_COMPUTE_TYPE", "bfloat16")
+    # int8 weights + int8 cross-KV is the default measured config: the
+    # reference CLI's own default precision is int8 (transcribe.py:32), and
+    # the decode loop is weight/cross-KV bandwidth bound on TPU.
+    compute_type = os.environ.get("BENCH_COMPUTE_TYPE", "int8")
+    int8_ckv = os.environ.get("BENCH_INT8_CROSS_KV", "1") == "1"
 
     from manual_whisper_tpu.pipeline import load_model
 
     model = load_model(
         model_name, language="zh", compute_type=compute_type,
-        asr_options={"max_new_tokens": max_new})
+        asr_options={"max_new_tokens": max_new,
+                     "int8_cross_kv": int8_ckv})
     audio = synth_speech(seconds)
     duration = len(audio) / 16000.0
 
@@ -67,6 +72,8 @@ def main() -> int:
     rtf = duration / elapsed
     assert result["segments"], "pipeline produced no segments"
     suffix = "" if compute_type == "bfloat16" else f"_{compute_type}"
+    if int8_ckv:
+        suffix += "_ckv8"
     print(json.dumps({
         "metric": f"rtf_{model_name.replace('-', '_')}"
                   f"_batch{batch_size}{suffix}",

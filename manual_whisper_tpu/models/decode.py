@@ -27,7 +27,7 @@ import numpy as np
 
 from ..tokenizer import WhisperTokenizer
 from .whisper import (Params, WhisperConfig, decode_step, decoder_forward,
-                      init_kv_cache, precompute_cross_kv)
+                      init_kv_cache, precompute_cross_kv, quantize_cross_kv)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +43,7 @@ class DecodingOptions:
     max_new_tokens: int = 224
     beam_size: int = 1           # faster-whisper/WhisperX default is 5
     length_penalty: float = 1.0
+    int8_cross_kv: bool = False  # halve decode HBM traffic (greedy path)
     suppress_blank: bool = True
     suppress_non_speech: bool = True
     without_timestamps: bool = True
@@ -84,13 +85,14 @@ def build_blank_mask(tokenizer: WhisperTokenizer, cfg: WhisperConfig
 
 
 @partial(jax.jit, static_argnames=("eot", "cfg", "max_new", "sot_index",
-                                   "no_speech_token"))
+                                   "no_speech_token", "int8_cross_kv"))
 def greedy_decode_jit(params: Params, xa: jnp.ndarray,
                       prefix: jnp.ndarray, suppress_mask: jnp.ndarray,
                       blank_mask: jnp.ndarray, temperature: jnp.ndarray,
                       rng: jnp.ndarray,
                       eot: int, cfg: WhisperConfig, max_new: int,
-                      sot_index: int = 0, no_speech_token: int = 0):
+                      sot_index: int = 0, no_speech_token: int = 0,
+                      int8_cross_kv: bool = False):
     """Prefill + decode loop, one compiled program.
 
     xa [B, Ta, d]; prefix [P] shared prompt (identical across the batch —
@@ -104,6 +106,8 @@ def greedy_decode_jit(params: Params, xa: jnp.ndarray,
     eot_i32 = jnp.int32(eot)
 
     cross_kv = precompute_cross_kv(params, xa, cfg)
+    if int8_cross_kv:
+        cross_kv = quantize_cross_kv(cross_kv)
     cache = init_kv_cache(cfg, b, max_len=p + max_new)
 
     prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
@@ -231,7 +235,8 @@ class BatchDecoder:
                 jax.random.PRNGKey(self.opts.seed),
                 tk.special.eot, self.cfg, max_new,
                 sot_index=sot_index,
-                no_speech_token=tk.special.no_speech)
+                no_speech_token=tk.special.no_speech,
+                int8_cross_kv=self.opts.int8_cross_kv)
         # one device->host round trip for all outputs
         tokens, sum_lp, lengths, no_speech = jax.device_get(out)
 

@@ -300,6 +300,28 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
     return ks, vs
 
 
+def quantize_cross_kv(cross_kv):
+    """Per-position symmetric int8 for the cross-attention K/V.
+
+    The decode loop re-reads the full cross K/V every step (~7.9 GB/step at
+    large-v3 batch 16) — the dominant HBM term.  Per-(layer,batch,head,pos)
+    scales commute exactly out of the attention dots:
+    (q . k_q[t]) * s_k[t] for scores and (p[t] * s_v[t]) @ v_q for values,
+    so the only approximation is int8 rounding of K/V themselves.
+    Returns (k_q, k_s, v_q, v_s) with scales shaped [..., T, 1] float32.
+    """
+    def q(x):
+        x32 = x.astype(jnp.float32)
+        s = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-8)
+        qx = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+        return qx, s
+    k, v = cross_kv
+    k_q, k_s = q(k)
+    v_q, v_s = q(v)
+    return k_q, k_s, v_q, v_s
+
+
 def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Self-attention KV cache [L, B, H, max_len, dh] (zeros)."""
@@ -309,7 +331,25 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
     return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
 
 
-def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, x_k, x_v):
+def _cross_attend(xq, xkv, dh):
+    """Cross attention scores/values; xkv is (k, v) or the int8 4-tuple
+    from quantize_cross_kv (scales commute out of the dots exactly)."""
+    if len(xkv) == 2:
+        x_k, x_v = xkv
+        xscores = jnp.einsum("bhqd,bhkd->bhqk", xq, x_k,
+                             preferred_element_type=jnp.float32) * dh ** -0.5
+        xprobs = jax.nn.softmax(xscores, axis=-1).astype(xq.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", xprobs, x_v)
+    k_q, k_s, v_q, v_s = xkv
+    xscores = jnp.einsum("bhqd,bhkd->bhqk", xq, k_q.astype(xq.dtype),
+                         preferred_element_type=jnp.float32) * dh ** -0.5
+    xscores = xscores * k_s[..., 0][:, :, None, :]
+    xprobs = jax.nn.softmax(xscores, axis=-1)
+    xprobs = (xprobs * v_s[..., 0][:, :, None, :]).astype(xq.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", xprobs, v_q.astype(xq.dtype))
+
+
+def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, xkv):
     """One decoder block given explicit self-attn K/V and cross K/V."""
     a_in = _layer_norm(h, blk["ln1"])
     q = _split_heads(mm(a_in, blk["attn"]["q_w"]) + blk["attn"]["q_b"],
@@ -326,10 +366,7 @@ def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, x_k, x_v):
     x_in = _layer_norm(h, blk["lnx"])
     xq = _split_heads(mm(x_in, blk["xattn"]["q_w"]) + blk["xattn"]["q_b"],
                       n_head)
-    xscores = jnp.einsum("bhqd,bhkd->bhqk", xq, x_k,
-                         preferred_element_type=jnp.float32) * dh ** -0.5
-    xprobs = jax.nn.softmax(xscores, axis=-1).astype(xq.dtype)
-    xout = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", xprobs, x_v))
+    xout = _merge_heads(_cross_attend(xq, xkv, dh))
     h = h + (mm(xout, blk["xattn"]["o_w"]) + blk["xattn"]["o_b"])
 
     m_in = _layer_norm(h, blk["ln2"])
@@ -373,7 +410,7 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
 
     def block_fn(carry, scanned):
         h = carry
-        blk, ck, cv, xk, xv = scanned
+        blk, ck, cv, xkv = scanned
         a_in = _layer_norm(h, blk["ln1"])
         new_k = _split_heads(mm(a_in, blk["attn"]["k_w"]), n_head)
         new_v = _split_heads(mm(a_in, blk["attn"]["v_w"])
@@ -382,11 +419,11 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
             ck, new_k.astype(ck.dtype), (0, 0, pos_offset, 0))
         cv = jax.lax.dynamic_update_slice(
             cv, new_v.astype(cv.dtype), (0, 0, pos_offset, 0))
-        h = _decoder_block(h, blk, n_head, ck, cv, mask, xk, xv)
+        h = _decoder_block(h, blk, n_head, ck, cv, mask, xkv)
         return h, (ck, cv)
 
     x, (new_ck, new_cv) = jax.lax.scan(
-        block_fn, x, (dec["blocks"], cache_k, cache_v, x_k, x_v))
+        block_fn, x, (dec["blocks"], cache_k, cache_v, (x_k, x_v)))
 
     x = _layer_norm(x, dec["ln"])
     logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
@@ -406,7 +443,6 @@ def decode_step(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
     dec = params["decoder"]
     n_head = cfg.n_text_head
     cache_k, cache_v = kv_cache
-    x_k, x_v = cross_kv
     max_len = cache_k.shape[3]
 
     x = dec["tok_emb"][token] + jax.lax.dynamic_index_in_dim(
@@ -419,7 +455,7 @@ def decode_step(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
 
     def block_fn(carry, scanned):
         h = carry
-        blk, ck, cv, xk, xv = scanned
+        blk, ck, cv, xkv = scanned
         a_in = _layer_norm(h, blk["ln1"])
         new_k = _split_heads(mm(a_in, blk["attn"]["k_w"]), n_head)
         new_v = _split_heads(mm(a_in, blk["attn"]["v_w"])
@@ -428,11 +464,11 @@ def decode_step(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
             ck, new_k.astype(ck.dtype), (0, 0, pos, 0))
         cv = jax.lax.dynamic_update_slice(
             cv, new_v.astype(cv.dtype), (0, 0, pos, 0))
-        h = _decoder_block(h, blk, n_head, ck, cv, mask, xk, xv)
+        h = _decoder_block(h, blk, n_head, ck, cv, mask, xkv)
         return h, (ck, cv)
 
     x, (new_ck, new_cv) = jax.lax.scan(
-        block_fn, x, (dec["blocks"], cache_k, cache_v, x_k, x_v))
+        block_fn, x, (dec["blocks"], cache_k, cache_v, cross_kv))
 
     x = _layer_norm(x, dec["ln"])[:, 0, :]
     logits = jnp.einsum("bd,vd->bv", x.astype(jnp.float32),

@@ -95,6 +95,8 @@ class TranscribePipeline:
                 temperatures=temps,
                 initial_prompt=self.asr_options.get("initial_prompt"),
                 max_new_tokens=self.asr_options.get("max_new_tokens", 224),
+                beam_size=self.asr_options.get("beam_size", 1),
+                int8_cross_kv=self.asr_options.get("int8_cross_kv", False),
             )
             self._decoders[key] = BatchDecoder(
                 self.params, self.cfg, self.tokenizer, opts)

@@ -91,3 +91,28 @@ def test_pallas_int8_matmul_interpret():
     out = np.asarray(int8_matmul_pallas(x, qw["q"], qw["s"], block_n=128,
                                         interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_int8_cross_kv_decode_close_to_full():
+    """Quantized cross-attention KV keeps greedy decode statistics close
+    (scales factor out exactly; only int8 rounding of K/V remains)."""
+    cfg = MODEL_CONFIGS["test"]
+    tk = make_test_tokenizer()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mel = np.random.default_rng(5).standard_normal(
+        (2, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    xa = encode(params, mel, cfg)
+
+    full = BatchDecoder(params, cfg, tk, DecodingOptions(
+        language="zh", temperatures=(0.0,), max_new_tokens=8)).decode(xa)
+    q = BatchDecoder(params, cfg, tk, DecodingOptions(
+        language="zh", temperatures=(0.0,), max_new_tokens=8,
+        int8_cross_kv=True)).decode(xa)
+    for a, b in zip(full, q):
+        assert abs(a.avg_logprob - b.avg_logprob) < 0.3
+        # token agreement on the prefix of the shorter sequence
+        n = min(len(a.tokens), len(b.tokens))
+        if n:
+            agree = sum(x == y for x, y in
+                        zip(a.tokens[:n], b.tokens[:n])) / n
+            assert agree > 0.5
