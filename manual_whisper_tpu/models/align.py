@@ -167,10 +167,15 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
             out_segments.append(seg_out)
             continue
 
-        # wav2vec2 expects zero-mean/unit-variance input
+        # wav2vec2 expects zero-mean/unit-variance input; clips are padded
+        # to 1 s buckets so XLA compiles one program per bucket instead of
+        # one per unique segment length
         norm = (clip - clip.mean()) / np.sqrt(clip.var() + 1e-7)
+        bucket = max(SAMPLE_RATE, -(-len(norm) // SAMPLE_RATE) * SAMPLE_RATE)
+        padded = np.zeros(bucket, np.float32)
+        padded[: len(norm)] = norm
         log_probs = np.asarray(
-            wav2vec2_logits(model.params, norm[None], model.cfg)[0],
+            wav2vec2_logits(model.params, padded[None], model.cfg)[0],
             np.float64)[:n_frames]
 
         labels, char_idx = _tokenize_chars(text, model.vocab)

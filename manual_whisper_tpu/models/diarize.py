@@ -286,12 +286,15 @@ class DiarizationPipeline:
     def __init__(self, use_auth_token: Optional[str] = None,
                  device: Optional[str] = None,
                  segmentation_params: Optional[dict] = None,
+                 segmentation_cfg=None,
                  embedding_params: Optional[dict] = None,
                  embedding_cfg: Optional[EmbeddingConfig] = None,
                  window_sec: float = 3.0,
                  step_sec: float = 1.5,
                  threshold: float = 0.7):
-        self.vad = VoiceActivityDetector(segmentation_params)
+        from .vad import PyanNetConfig
+        self.vad = VoiceActivityDetector(
+            segmentation_params, segmentation_cfg or PyanNetConfig())
         self.embedding_params = embedding_params
         self.embedding_cfg = embedding_cfg or EmbeddingConfig()
         self.window_sec = window_sec
@@ -308,11 +311,95 @@ class DiarizationPipeline:
         emb = embed_forward(self.embedding_params, mel, self.embedding_cfg)
         return np.asarray(emb)[0]
 
+    def _diarize_with_segmentation(self, audio: np.ndarray,
+                                   min_speakers: Optional[int],
+                                   max_speakers: Optional[int]
+                                   ) -> List[dict]:
+        """pyannote-3.1-style flow: sliding segmentation windows give local
+        per-speaker activities (powerset); each active local speaker gets
+        an embedding over its active samples; clustering maps local
+        speakers to global labels; frame-level activities are stitched
+        across windows and re-binarised per global speaker (supports
+        overlapping speech)."""
+        from .vad import (powerset_to_speaker_probs, pyannet_forward,
+                          binarize, VadOptions)
+
+        seg_cfg = self.vad.cfg
+        window = int(seg_cfg.window_sec * SAMPLE_RATE)
+        step = max(int(self.step_sec * SAMPLE_RATE), window // 2)
+        n = len(audio)
+        starts = list(range(0, max(n - window // 2, 1), step))
+        batch = np.zeros((len(starts), window), np.float32)
+        for i, s in enumerate(starts):
+            clip = audio[s: s + window]
+            batch[i, : len(clip)] = clip
+
+        log_probs = pyannet_forward(self.vad.params, jnp.asarray(batch),
+                                    seg_cfg)
+        spk = powerset_to_speaker_probs(np.asarray(log_probs))  # [W,F,3]
+        n_frames = spk.shape[1]
+        frame_dur = seg_cfg.window_sec / n_frames
+
+        # embeddings for active local speakers
+        entries = []  # (window_idx, local_spk, embedding)
+        for wi, s in enumerate(starts):
+            clip = batch[wi]
+            for ls in range(spk.shape[2]):
+                act = spk[wi, :, ls]
+                if act.mean() < 0.1 or (act > 0.5).sum() * frame_dur < 0.4:
+                    continue
+                mask = np.repeat(act > 0.5,
+                                 int(np.ceil(window / n_frames)))[:window]
+                active_audio = clip[mask]
+                if len(active_audio) < SAMPLE_RATE // 4:
+                    continue
+                entries.append((wi, ls, self._embed(active_audio)))
+        if not entries:
+            return []
+
+        embs = np.stack([e[2] for e in entries])
+        if len(embs) > 1:
+            embs = embs - embs.mean(axis=0, keepdims=True)
+            embs = embs / np.clip(
+                np.linalg.norm(embs, axis=1, keepdims=True), 1e-8, None)
+        labels = agglomerative_cluster(
+            embs, threshold=self.threshold,
+            min_speakers=min_speakers or 1, max_speakers=max_speakers)
+
+        # stitch: accumulate global speaker activity on an absolute frame
+        # grid (average across overlapping windows)
+        n_global = int(labels.max()) + 1
+        total_frames = int(np.ceil(n / SAMPLE_RATE / frame_dur)) + 1
+        acc = np.zeros((n_global, total_frames), np.float64)
+        cnt = np.zeros((n_global, total_frames), np.float64)
+        for (wi, ls, _), g in zip(entries, labels):
+            f0 = int(round(starts[wi] / SAMPLE_RATE / frame_dur))
+            f1 = min(f0 + n_frames, total_frames)
+            acc[g, f0:f1] += spk[wi, : f1 - f0, ls]
+            cnt[g, f0:f1] += 1.0
+        activity = np.where(cnt > 0, acc / np.maximum(cnt, 1), 0.0)
+
+        segments: List[dict] = []
+        duration = n / SAMPLE_RATE
+        for g in range(n_global):
+            for s, e in binarize(activity[g].astype(np.float32), frame_dur,
+                                 VadOptions(vad_onset=0.5, vad_offset=0.35,
+                                            min_duration_on=0.3,
+                                            min_duration_off=0.3)):
+                segments.append({"start": round(max(0.0, s), 3),
+                                 "end": round(min(duration, e), 3),
+                                 "speaker": f"SPEAKER_{g:02d}"})
+        segments.sort(key=lambda d: (d["start"], d["end"]))
+        return segments
+
     def __call__(self, audio: np.ndarray,
                  min_speakers: Optional[int] = None,
                  max_speakers: Optional[int] = None) -> List[dict]:
         """audio -> [{start, end, speaker}] (SPEAKER_00, SPEAKER_01, ...)."""
         audio = np.asarray(audio, np.float32)
+        if self.vad.params is not None:
+            return self._diarize_with_segmentation(audio, min_speakers,
+                                                   max_speakers)
         regions = self.vad(audio, VadOptions(min_duration_on=0.3,
                                              min_duration_off=0.3))
         # slide windows over speech regions

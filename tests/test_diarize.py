@@ -181,3 +181,27 @@ def test_convert_wespeaker_resnet_contract():
     emb = np.asarray(embed_forward(params, feats, cfg))
     assert emb.shape == (1, cfg.embed_dim)
     assert np.isfinite(emb).all()
+
+
+def test_segmentation_based_pipeline_runs():
+    """pyannote-3.1-style path (segmentation model present): mechanics on
+    random PyanNet weights — valid segment schema, overlap allowed."""
+    from manual_whisper_tpu.models.vad import PyanNetConfig, \
+        init_pyannet_params
+
+    seg_cfg = PyanNetConfig(window_sec=2.0)
+    seg_params = init_pyannet_params(jax.random.PRNGKey(3), seg_cfg)
+    diar = DiarizationPipeline(segmentation_params=seg_params,
+                               segmentation_cfg=seg_cfg,
+                               window_sec=2.0, step_sec=1.0, threshold=0.6)
+    audio = np.concatenate([
+        _voice(120, 2.5, seed=1), np.zeros(SR // 2, np.float32),
+        _voice(260, 2.5, seed=2)])
+    segments = diar(audio, max_speakers=3)
+    duration = len(audio) / SR
+    for s in segments:
+        assert 0 <= s["start"] < s["end"] <= duration + 1e-6
+        assert s["speaker"].startswith("SPEAKER_")
+    # sorted by start time
+    starts = [s["start"] for s in segments]
+    assert starts == sorted(starts)
