@@ -78,19 +78,32 @@ def pad_audio_window(audio: np.ndarray, start: float, end: float,
     return out
 
 
+def _bucket_for(n: int, batch_size: int) -> int:
+    """Smallest bucket >= n from {bs, bs/2, bs/4, bs/8} (power-of-two
+    ladder).  Full batches compile once; a small trailing batch uses a
+    smaller program instead of padding all the way up (a 1-chunk tail in a
+    batch-16 program would waste 15/16 of its decode FLOPs)."""
+    buckets = sorted({max(1, batch_size >> k) for k in range(4)})
+    for b in buckets:
+        if n <= b:
+            return b
+    return batch_size
+
+
 def batch_chunks(audio: np.ndarray, chunks: Sequence[SpeechChunk],
                  batch_size: int, window_samples: int = N_SAMPLES,
                  ) -> List[Tuple[np.ndarray, List[SpeechChunk]]]:
-    """Group chunks into fixed-size batches of padded windows.
+    """Group chunks into bucketed batches of padded windows.
 
-    The final partial batch is zero-padded to ``batch_size`` rows so the
-    decode program compiles once; padding rows are dropped by the caller
-    (len(chunk_list) < batch_size marks them).
+    Every batch shape comes from a small static ladder so XLA compiles a
+    handful of programs total; padding rows are dropped by the caller
+    (len(chunk_list) < rows marks them).
     """
     batches = []
     for i in range(0, len(chunks), batch_size):
         group = list(chunks[i:i + batch_size])
-        arr = np.zeros((batch_size, window_samples), np.float32)
+        rows = _bucket_for(len(group), batch_size)
+        arr = np.zeros((rows, window_samples), np.float32)
         for j, ch in enumerate(group):
             arr[j] = pad_audio_window(audio, ch.start, ch.end,
                                       window_samples)

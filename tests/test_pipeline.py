@@ -45,9 +45,20 @@ def test_batch_chunks_static_shapes():
               for i in range(5)]
     batches = batch_chunks(audio, chunks, batch_size=2, window_samples=SR)
     assert len(batches) == 3
-    for arr, group in batches:
-        assert arr.shape == (2, SR)          # padded to batch_size
-    assert len(batches[-1][1]) == 1           # final partial group
+    assert batches[0][0].shape == (2, SR)
+    assert batches[1][0].shape == (2, SR)
+    # trailing single chunk drops to the 1-row bucket
+    assert batches[2][0].shape == (1, SR)
+    assert len(batches[-1][1]) == 1
+
+
+def test_batch_chunks_bucket_ladder():
+    audio = np.ones(SR * 40, np.float32)
+    chunks = [SpeechChunk(float(i), float(i) + 0.5,
+                          [(float(i), float(i) + .5)]) for i in range(19)]
+    batches = batch_chunks(audio, chunks, batch_size=16, window_samples=SR)
+    # 16 + 3 -> full batch then the 4-row bucket
+    assert [arr.shape[0] for arr, _ in batches] == [16, 4]
 
 
 @pytest.fixture(scope="module")
