@@ -203,6 +203,26 @@ def convert_wespeaker_resnet(state_dict, cfg: EmbeddingConfig
     }
 
 
+def load_embedding_params(name: str = "wespeaker-voxceleb-resnet34-LM",
+                          cfg: Optional[EmbeddingConfig] = None
+                          ) -> Optional[Dict[str, Any]]:
+    """Converted speaker-embedding weights from the registry
+    ($MWX_WEIGHTS_DIR/<name>/pytorch_model.bin), or None."""
+    from .. import config as _config
+    root = _config.get_env("MWX_WEIGHTS_DIR")
+    if not root:
+        return None
+    from pathlib import Path
+    path = Path(root) / name / "pytorch_model.bin"
+    if not path.exists():
+        return None
+    import torch
+    sd = torch.load(str(path), map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return convert_wespeaker_resnet(sd, cfg or EmbeddingConfig())
+
+
 def spectral_stats_embedding(audio: np.ndarray, n_mels: int = 40
                              ) -> np.ndarray:
     """Weightless fallback speaker signature: mean/std/delta statistics of
@@ -292,9 +312,20 @@ class DiarizationPipeline:
                  window_sec: float = 3.0,
                  step_sec: float = 1.5,
                  threshold: float = 0.7):
-        from .vad import PyanNetConfig
+        from .vad import PyanNetConfig, load_segmentation_params
+        if segmentation_params is None:
+            try:
+                segmentation_params = load_segmentation_params()
+            except Exception:
+                segmentation_params = None
         self.vad = VoiceActivityDetector(
             segmentation_params, segmentation_cfg or PyanNetConfig())
+        if embedding_params is None:
+            try:
+                embedding_params = load_embedding_params(
+                    cfg=embedding_cfg or EmbeddingConfig())
+            except Exception:
+                embedding_params = None
         self.embedding_params = embedding_params
         self.embedding_cfg = embedding_cfg or EmbeddingConfig()
         self.window_sec = window_sec

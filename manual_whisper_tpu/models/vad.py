@@ -382,6 +382,28 @@ def binarize(probs: np.ndarray, frame_duration: float,
     return regions
 
 
+def load_segmentation_params(name: str = "pyannote-segmentation-3.0"
+                             ) -> Optional[Dict]:
+    """Converted pyannote segmentation weights from the registry
+    ($MWX_WEIGHTS_DIR/<name>/pytorch_model.bin), or None.
+
+    The reference fetches the same gated checkpoint through the HF hub
+    with a token (.env.example:4-5)."""
+    from .. import config as _config
+    root = _config.get_env("MWX_WEIGHTS_DIR")
+    if not root:
+        return None
+    from pathlib import Path
+    path = Path(root) / name / "pytorch_model.bin"
+    if not path.exists():
+        return None
+    import torch
+    sd = torch.load(str(path), map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return convert_pyannote_segmentation(sd)
+
+
 class VoiceActivityDetector:
     """VAD surface used by the pipeline: probs + binarize.
 

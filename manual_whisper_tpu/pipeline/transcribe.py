@@ -305,8 +305,19 @@ def load_model(name: str = "large-v3",
         from ..ops.quant import quantize_params
         params = quantize_params(params)
 
+    # converted pyannote segmentation weights upgrade the VAD when present
+    # in the registry; silent energy-VAD fallback otherwise
+    vad = None
+    try:
+        from ..models.vad import load_segmentation_params
+        seg_params = load_segmentation_params()
+        if seg_params is not None:
+            vad = VoiceActivityDetector(seg_params)
+    except Exception:
+        vad = None
+
     vad_opts = VadOptions(**vad_options) if vad_options else VadOptions()
-    return TranscribePipeline(params, cfg, tokenizer,
+    return TranscribePipeline(params, cfg, tokenizer, vad=vad,
                               asr_options=asr_options,
                               vad_options=vad_opts,
                               language=language)
