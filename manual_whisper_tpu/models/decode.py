@@ -291,7 +291,13 @@ class BatchDecoder:
 
     def decode_with_fallback(self, xa: jnp.ndarray) -> List[SegmentResult]:
         """faster-whisper style temperature ladder: retry failing segments
-        at increasing temperature; keep the first passing result."""
+        at increasing temperature; keep the first passing result.
+
+        Retry sub-batches are padded up to the same power-of-two bucket
+        ladder the chunk batcher uses, so a retry of (say) 3 rows out of 16
+        reuses the compiled 4-row program instead of forcing a fresh XLA
+        compile mid-job (minutes on large checkpoints)."""
+        from ..pipeline.chunking import _bucket_for
         temps = self.opts.temperatures or (0.0,)
         results = self.decode(xa, temperature=temps[0])
         pending = [i for i, r in enumerate(results)
@@ -299,8 +305,10 @@ class BatchDecoder:
         for temp in temps[1:]:
             if not pending:
                 break
-            sub = xa[np.asarray(pending)]
-            retried = self.decode(sub, temperature=temp)
+            rows = _bucket_for(len(pending), int(xa.shape[0]))
+            idx = pending + [pending[0]] * (rows - len(pending))
+            sub = xa[np.asarray(idx)]
+            retried = self.decode(sub, temperature=temp)[:len(pending)]
             still = []
             for j, i in enumerate(pending):
                 results[i] = retried[j]

@@ -141,6 +141,39 @@ class TranscribePipeline:
         return self.tokenizer.language_from_token(
             self.tokenizer.special.lang_base + idx)
 
+    def warmup(self, batch_size: int = 8,
+               language: Optional[str] = None,
+               temperature=0.0,
+               progress_callback: Optional[ProgressFn] = None) -> None:
+        """Pre-compile the hot paths so the first real request doesn't pay
+        XLA compile latency (minutes for large checkpoints): the mel+encoder
+        jit and the decode loop for every batch bucket the chunk scheduler
+        can emit, plus language detection when no language is pinned.
+        Shapes and static arguments match the runtime calls exactly, so
+        these compiles are cache hits later regardless of audio content or
+        detected language."""
+        from .chunking import _bucket_for
+        lang = language or self.language or "zh"
+        decoder = self._decoder(lang, temperature)
+        use_ts = not self.asr_options.get("without_timestamps", True)
+        buckets = sorted({_bucket_for(max(1, batch_size >> k), batch_size)
+                          for k in range(4)})
+        for i, rows in enumerate(buckets):
+            if progress_callback:
+                progress_callback(100.0 * i / len(buckets),
+                                  f"warmup: compiling batch-{rows} programs")
+            windows = np.zeros((rows, self.window_samples), np.float32)
+            xa = self._encode_windows(windows)
+            if use_ts:
+                decoder.decode_with_timestamps(
+                    xa, [0.0] * rows, [self.window_sec] * rows)
+            else:
+                decoder.decode(xa, temperature=0.0)
+        if language is None and self.language is None:
+            self.detect_language(np.zeros(1600, np.float32))
+        if progress_callback:
+            progress_callback(100.0, "warmup: done")
+
     def transcribe(self, audio: Union[str, np.ndarray],
                    batch_size: int = 8,
                    language: Optional[str] = None,

@@ -267,6 +267,13 @@ class PipelineBackend:
                 "vad_offset": config.get_float("VAD_OFFSET", 0.36),
             })
 
+    def warmup(self) -> None:
+        """Pre-compile the serving batch buckets (run in a background
+        thread at server start so the first job skips compile latency)."""
+        lang = config.get_env("LANGUAGE", "zh") or None
+        self.model.warmup(batch_size=self.batch_size, language=lang,
+                          temperature=config.get_float("TEMPERATURE", 0.0))
+
     def transcribe(self, audio_path: str, language: str,
                    progress: Callable[[float, str], None],
                    options: Optional[dict] = None) -> dict:

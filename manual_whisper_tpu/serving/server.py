@@ -388,6 +388,16 @@ def serve(model_name: Optional[str] = None, host: str = "0.0.0.0",
         backend, host=host, port=port,
         web_dir=web_dir or (str(default_web) if default_web.exists()
                             else None))
+    if config.get_bool("MWX_WARMUP", True):
+        def _warm():
+            t0 = time.time()
+            try:
+                backend.warmup()
+                print(f"warmup: decode programs compiled "
+                      f"({time.time() - t0:.0f}s)")
+            except Exception as exc:
+                print(f"warmup failed (serving continues): {exc}")
+        threading.Thread(target=_warm, daemon=True).start()
     print(f"manual-whisper TPU server listening on http://{host}:{port}")
     server.serve_forever()
 

@@ -113,6 +113,34 @@ def test_fallback_ladder_retries_failing_rows(setup, monkeypatch):
     assert all(r.temperature == 1.0 for r in results)
 
 
+def test_fallback_retries_pad_to_bucket(setup, monkeypatch):
+    """Retry sub-batches reuse the compiled bucket shapes: 3 failing rows
+    out of 4 retry as a padded 4-row call, not a fresh 3-row program."""
+    params, cfg, tk, xa3 = setup
+    xa = jnp.concatenate([xa3, xa3[:1]], axis=0)  # batch 4
+    dec = _decoder(params, cfg, tk, temperatures=(0.0, 0.5),
+                   log_prob_threshold=-1.0)
+    calls = []
+    real_decode = dec.decode
+
+    def spy(xa_in, temperature=0.0):
+        calls.append(int(xa_in.shape[0]))
+        out = real_decode(xa_in, temperature)
+        if temperature == 0.0:  # rows 0-2 fail, row 3 passes
+            for r in out[:3]:
+                r.avg_logprob = -10.0
+            if len(out) > 3:
+                out[3].avg_logprob = -0.1
+        return out
+
+    monkeypatch.setattr(dec, "decode", spy)
+    results = dec.decode_with_fallback(xa)
+    assert calls == [4, 4]  # 3 pending rows padded up to the 4-bucket
+    assert len(results) == 4
+    assert all(r.temperature == 0.5 for r in results[:3])
+    assert results[3].temperature == 0.0  # passing row untouched
+
+
 def test_no_speech_gate():
     opts = DecodingOptions(no_speech_threshold=0.6, log_prob_threshold=-1.0)
     dec = object.__new__(BatchDecoder)

@@ -90,6 +90,21 @@ def test_transcribe_end_to_end_contract(tiny_pipeline):
     assert pcts == sorted(pcts) and pcts[-1] == 100.0
 
 
+def test_warmup_precompiles_and_matches_runtime(tiny_pipeline):
+    """warmup() runs every bucket through the real encode+decode path and
+    reports progress; a transcribe afterwards still works (shapes/statics
+    identical, so runtime is a pure cache hit)."""
+    msgs = []
+    tiny_pipeline.warmup(batch_size=4,
+                         progress_callback=lambda p, m: msgs.append((p, m)))
+    assert any("batch-4" in m for _, m in msgs)
+    assert any("batch-1" in m for _, m in msgs)
+    assert msgs[-1][1] == "warmup: done"
+    result = tiny_pipeline.transcribe(_speech_audio(), batch_size=4,
+                                      language="zh")
+    assert "segments" in result
+
+
 def test_transcribe_silence_returns_empty(tiny_pipeline):
     result = tiny_pipeline.transcribe(
         np.zeros(SR * 2, np.float32), batch_size=2, language="zh")
