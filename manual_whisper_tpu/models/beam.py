@@ -7,10 +7,18 @@ this is the TPU equivalent.  Memory-conscious layout:
 - cross-attention K/V stays [L, B, H, Ta, dh] and is SHARED across beams
   inside the attention einsum (tiling it for large-v3 at batch 8 x beam 5
   would cost ~20 GB of HBM);
-- self-attention cache is [L, B, K, H, T, dh] and is re-gathered along the
-  beam axis after each step's top-k (the one unavoidable beam-search cost);
+- the self-attention cache is NEVER physically reordered after top-k.
+  Slots stay append-only ([L, B, K, H, T, dh]: time column t holds the K
+  candidates written at step t); each surviving beam carries an ancestry
+  index anc[B, K, T] ("which slot holds my token at time t"), and the
+  permutation folds into the attention einsums as a one-hot contraction
+  over the K parent slots.  A physical take_along_axis re-gather would
+  read+write the whole cache every token (~3x the HBM traffic of the
+  attention read itself — the dominant cost of beam decode); the one-hot
+  contraction costs K extra MXU FLOPs per score instead, which the TPU
+  has to spare — classic bandwidth-for-FLOPs trade;
 - whole search is ONE jitted program: prefill -> while_loop of
-  (step, top-k, gather) with static (B, K, P, max_new).
+  (step, top-k, ancestry update) with static (B, K, P, max_new).
 
 Hypothesis selection uses length-normalised scores
 (sum_logprob / length^length_penalty, CT2's default penalty 1.0).
@@ -32,11 +40,13 @@ from .whisper import (Params, WhisperConfig, _layer_norm, _merge_heads,
 NEG_INF = -1e30
 
 
-def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos):
+def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos, oh):
     """One decoder block for beam-shaped activations.
 
-    h [B, K, d]; self cache ck/cv [B, K, H, T, dh] (updated at ``pos``);
-    cross x_k/x_v [B, H, Ta, dh] shared across beams.
+    h [B, K, d]; self cache ck/cv [B, K, H, T, dh] (slot k updated at
+    ``pos``); cross x_k/x_v [B, H, Ta, dh] shared across beams;
+    oh [B, K, J, T] one-hot ancestry (oh[b,k,j,t]=1 iff beam k's token at
+    time t lives in cache slot j) — the lazy beam reorder.
     """
     b, k, d = h.shape
     dh = d // n_head
@@ -52,11 +62,15 @@ def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos):
         ck, new_k[:, :, :, None].astype(ck.dtype), (0, 0, 0, pos, 0))
     cv = jax.lax.dynamic_update_slice(
         cv, new_v[:, :, :, None].astype(cv.dtype), (0, 0, 0, pos, 0))
-    scores = jnp.einsum("bkhd,bkhtd->bkht", q, ck,
-                        preferred_element_type=jnp.float32) * dh ** -0.5
+    # score against every parent slot j, then select the true ancestor via
+    # the one-hot: one sequential cache read, zero re-gather traffic
+    s_all = jnp.einsum("bkhd,bjhtd->bkjht", q, ck,
+                       preferred_element_type=jnp.float32) * dh ** -0.5
+    scores = jnp.einsum("bkjht,bkjt->bkht", s_all, oh)
     scores = scores + mask                   # [B, K, H, T] + [T]
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    attn = jnp.einsum("bkht,bkhtd->bkhd", probs, cv).reshape(b, k, d)
+    probs_j = probs[:, :, None] * oh[:, :, :, None, :].astype(q.dtype)
+    attn = jnp.einsum("bkjht,bjhtd->bkhd", probs_j, cv).reshape(b, k, d)
     h = h + (mm(attn, blk["attn"]["o_w"]) + blk["attn"]["o_b"])
 
     x_in = _layer_norm(h, blk["lnx"])
@@ -71,10 +85,11 @@ def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos):
     return h + _mlp(m_in, blk["mlp"]), (ck, cv)
 
 
-def _beam_step(params, cfg, token, pos, cache, cross_kv):
+def _beam_step(params, cfg, token, pos, cache, cross_kv, oh):
     """token [B, K] at absolute position ``pos`` -> (logits [B,K,V], cache).
 
-    cache: (k, v) [L, B, K, H, T, dh]; cross_kv: (k, v) [L, B, H, Ta, dh].
+    cache: (k, v) [L, B, K, H, T, dh]; cross_kv: (k, v) [L, B, H, Ta, dh];
+    oh [B, K, J, T] one-hot ancestry shared by every layer.
     """
     dec = params["decoder"]
     n_head = cfg.n_text_head
@@ -92,7 +107,8 @@ def _beam_step(params, cfg, token, pos, cache, cross_kv):
     def block_fn(carry, scanned):
         h = carry
         blk, ck, cv, xk, xv = scanned
-        h, (ck, cv) = _beam_block(h, blk, n_head, ck, cv, mask, xk, xv, pos)
+        h, (ck, cv) = _beam_block(h, blk, n_head, ck, cv, mask, xk, xv,
+                                  pos, oh)
         return h, (ck, cv)
 
     x, (new_ck, new_cv) = jax.lax.scan(
@@ -140,17 +156,30 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
     tokens0 = jnp.full((b, k, max_new), eot_i32, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(top_tok)
     finished0 = top_tok == eot_i32
+    # ancestry starts as the identity: for t < p every slot holds the same
+    # tiled prefill, and each beam's first token will be written to its own
+    # slot at t = p
+    anc0 = jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.int32)[None, :, None],
+        (b, k, p + max_new))
     state = (tokens0, top_tok, jnp.int32(1), cache, finished0,
-             top_lp, jnp.ones((b, k), jnp.int32))
+             top_lp, jnp.ones((b, k), jnp.int32), anc0)
 
     def cond(state):
-        _, _, i, _, finished, _, _ = state
-        return jnp.logical_and(i < max_new, ~jnp.all(finished))
+        return jnp.logical_and(state[2] < max_new, ~jnp.all(state[4]))
 
     def body(state):
-        tokens, last, i, cache, finished, cum_lp, lengths = state
-        logits, cache = _beam_step(params, cfg, last, p + i - 1, cache,
-                                   cross_kv)
+        tokens, last, i, cache, finished, cum_lp, lengths, anc = state
+        # beam k writes this step's K/V into its own slot k
+        pos = p + i - 1
+        anc = jax.lax.dynamic_update_slice(
+            anc, jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :],
+                                  (b, k))[:, :, None], (0, 0, pos))
+        oh = (anc[:, :, None, :] ==
+              jnp.arange(k, dtype=jnp.int32)[None, None, :, None]
+              ).astype(jnp.float32)                         # [B, K, J, T]
+        logits, cache = _beam_step(params, cfg, last, pos, cache,
+                                   cross_kv, oh)
         logp = jax.nn.log_softmax(logits + suppress_mask, axis=-1)
         # finished beams: only EOT continuation at zero cost
         frozen = jnp.full((vocab,), NEG_INF).at[eot].set(0.0)
@@ -166,16 +195,15 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
         tokens = tokens.at[:, :, i].set(tok)
         finished = jnp.take_along_axis(finished, beam_idx, axis=1)
         lengths = jnp.take_along_axis(lengths, beam_idx, axis=1)
-        cache = tuple(
-            jnp.take_along_axis(
-                c, beam_idx[None, :, :, None, None, None], axis=2)
-            for c in cache)
+        # the cache is NOT re-gathered: surviving beams inherit their
+        # parent's ancestry row instead ([B, K, T] int32 — a few KB)
+        anc = jnp.take_along_axis(anc, beam_idx[:, :, None], axis=1)
 
         lengths = lengths + jnp.where(finished, 0, 1).astype(jnp.int32)
         finished = jnp.logical_or(finished, tok == eot_i32)
-        return (tokens, tok, i + 1, cache, finished, new_cum, lengths)
+        return (tokens, tok, i + 1, cache, finished, new_cum, lengths, anc)
 
-    tokens, _, _, _, finished, cum_lp, lengths = jax.lax.while_loop(
+    tokens, _, _, _, finished, cum_lp, lengths, _ = jax.lax.while_loop(
         cond, body, state)
 
     # length-normalised selection among beams

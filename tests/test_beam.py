@@ -67,6 +67,74 @@ def test_beam_respects_suppression(setup):
         assert not (set(r.tokens) & banned)
 
 
+def test_beam_matches_uncached_reference(setup):
+    """The lazy-ancestry beam (cache never physically reordered) must pick
+    the same hypotheses as a naive reference that re-runs the full
+    teacher-forced decoder on every candidate prefix each step — any
+    ancestry/cache bug shows up as a token or score mismatch."""
+    import jax.numpy as jnp
+
+    from manual_whisper_tpu.models import decoder_forward
+    from manual_whisper_tpu.models.beam import beam_decode_jit
+    from manual_whisper_tpu.models.decode import (DecodingOptions,
+                                                  build_blank_mask,
+                                                  build_suppress_mask)
+
+    params, cfg, tk, xa = setup
+    opts = DecodingOptions(language="zh", max_new_tokens=6, beam_size=3)
+    suppress = jnp.asarray(build_suppress_mask(tk, cfg, opts))
+    blank = jnp.asarray(build_blank_mask(tk, cfg))
+    prefix = np.asarray(tk.sot_sequence("zh", "transcribe"), np.int32)
+    eot, k, max_new = tk.special.eot, 3, 6
+    b, p = int(xa.shape[0]), len(prefix)
+
+    got_tokens, got_lp, got_len, _ = jax.device_get(beam_decode_jit(
+        params, xa, jnp.asarray(prefix), suppress, blank, eot, cfg,
+        max_new, k, sot_index=0, no_speech_token=tk.special.no_speech))
+
+    # ---- uncached reference ------------------------------------------------
+    xa_k = jnp.repeat(xa, k, axis=0)                       # [B*K, Ta, d]
+    logits, _ = decoder_forward(
+        params, jnp.broadcast_to(jnp.asarray(prefix), (b, p)), xa, cfg)
+    first = jax.nn.log_softmax(logits[:, -1] + suppress + blank, axis=-1)
+    cum, tok = jax.lax.top_k(first, k)                     # [B, K]
+    cum, tok = np.asarray(cum), np.asarray(tok)
+    tokens = np.full((b, k, max_new), eot, np.int32)
+    tokens[:, :, 0] = tok
+    finished = tokens[:, :, 0] == eot
+    lengths = np.ones((b, k), np.int32)
+
+    for i in range(1, max_new):
+        if finished.all():
+            break
+        seqs = np.concatenate(
+            [np.broadcast_to(prefix, (b, k, p)), tokens[:, :, :i]], axis=-1)
+        logits, _ = decoder_forward(
+            params, jnp.asarray(seqs.reshape(b * k, p + i)), xa_k, cfg)
+        logp = np.asarray(jax.nn.log_softmax(
+            logits[:, -1] + suppress, axis=-1)).reshape(b, k, -1)
+        frozen = np.full(logp.shape[-1], -1e30, np.float32)
+        frozen[eot] = 0.0
+        logp = np.where(finished[:, :, None], frozen, logp)
+        cand = (cum[:, :, None] + logp).reshape(b, -1)
+        idx = np.argsort(cand, axis=-1)[:, ::-1][:, :k]
+        cum = np.take_along_axis(cand, idx, axis=-1)
+        parent, tok = idx // logp.shape[-1], (idx % logp.shape[-1])
+        tokens = np.take_along_axis(tokens, parent[:, :, None], axis=1)
+        tokens[:, :, i] = tok
+        finished = np.take_along_axis(finished, parent, axis=1)
+        lengths = np.take_along_axis(lengths, parent, axis=1)
+        lengths = lengths + np.where(finished, 0, 1)
+        finished = finished | (tok == eot)
+
+    norm = np.maximum(lengths.astype(np.float32), 1.0)  # length_penalty 1.0
+    best = np.argmax(cum / norm, axis=1)
+    for row in range(b):
+        assert got_tokens[row].tolist() == tokens[row, best[row]].tolist()
+        assert abs(got_lp[row] - cum[row, best[row]]) < 1e-3
+        assert got_len[row] == lengths[row, best[row]]
+
+
 def test_beam_size_one_equals_greedy_tokens(setup):
     params, cfg, tk, xa = setup
     greedy = _decoder(params, cfg, tk, beam_size=1).decode(xa)

@@ -125,3 +125,94 @@ def test_save_load_roundtrip(tmp_path):
     text = "中文 mixed 123"
     assert loaded.decode(loaded.encode(text)) == text
     assert loaded.special.n_vocab == tok.special.n_vocab
+
+
+def _train_mini_bpe(corpus, n_merges=160):
+    """Tiny greedy byte-level BPE trainer (test-only): produces a realistic
+    vocab.json/merges.txt pair so the real-checkpoint loader path can be
+    cross-validated against HF's tokenizer without hub access."""
+    import collections
+
+    from manual_whisper_tpu.tokenizer.bpe import (ByteLevelBPE, _PRETOKENIZE,
+                                                  bytes_to_unicode)
+
+    be = bytes_to_unicode()
+    words = collections.Counter()
+    for text in corpus:
+        for chunk in _PRETOKENIZE.findall(text):
+            words[tuple(be[b] for b in chunk.encode("utf-8"))] += 1
+
+    vocab = {ch: i for i, ch in enumerate(sorted(be.values()))}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for word, freq in words.items():
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        # deterministic: max count, ties by pair
+        (a, b), _n = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        merges.append((a, b))
+        vocab.setdefault(a + b, len(vocab))
+        merged = {}
+        for word, freq in words.items():
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + freq
+        words = collections.Counter(merged)
+    return ByteLevelBPE(vocab, merges)
+
+
+CORPUS = [
+    "今天的会议讨论了三个议题，关于产品发布的时间表。",
+    "我们需要在下周完成数据分析和模型训练的全部工作。",
+    "The meeting covered quarterly results and the product roadmap.",
+    "Speaker two raised questions about the deployment timeline.",
+    "混合 language text with 数字 123 and punctuation!?",
+]
+
+
+def test_bpe_matches_hf_gpt2_tokenizer(tmp_path):
+    """Our vocab.json/merges.txt loader + BPE must reproduce HF's byte-level
+    BPE exactly on the same files (the path real Whisper checkpoints use;
+    the reference gets this via faster-whisper's bundled tokenizer)."""
+    pytest.importorskip("transformers")
+    from transformers import GPT2Tokenizer
+
+    bpe = _train_mini_bpe(CORPUS)
+    bpe.save(tmp_path)
+    ours = type(bpe).from_dir(tmp_path)
+    hf = GPT2Tokenizer(str(tmp_path / "vocab.json"),
+                       str(tmp_path / "merges.txt"))
+
+    cases = CORPUS + [
+        "unseen 词汇 outside the corpus façade naïve",
+        "  leading and   irregular   spaces  ",
+        "don't它's contractions 'll 've",
+        "emoji 🙂 and ünïcödé",
+        "",
+    ]
+    for text in cases:
+        ours_ids = ours.encode(text)
+        hf_ids = hf.encode(text, add_special_tokens=False)
+        assert ours_ids == hf_ids, f"mismatch on {text!r}"
+        assert ours.decode(ours_ids) == hf.decode(hf_ids)
+
+
+def test_whisper_tokenizer_from_hf_style_dir(tmp_path):
+    """WhisperTokenizer.from_dir on an HF-style vocab (specials included in
+    vocab.json) finds the right base size and round-trips text."""
+    bpe = _train_mini_bpe(CORPUS)
+    bpe.vocab["<|endoftext|>"] = len(bpe.vocab)
+    bpe.save(tmp_path)
+    tok = WhisperTokenizer.from_dir(tmp_path, num_languages=100)
+    assert tok.special.eot == bpe.vocab["<|endoftext|>"]
+    text = "会议 transcript 123"
+    assert tok.decode(tok.encode(text)) == text
