@@ -40,7 +40,11 @@ def transcribe_audio(audio_file: str, hf_token=None,
     print(f"📝 加载 Whisper {model_size} 模型...")
     model = load_model(
         model_size, device, compute_type=compute_type, language="zh",
-        asr_options={"initial_prompt": INITIAL_PROMPT},
+        asr_options={"initial_prompt": INITIAL_PROMPT,
+                     # the reference's CT2 engine decodes with beam 5 by
+                     # default; greedy is our default (faster, near-equal
+                     # WER with the fallback ladder) — opt in via .env
+                     "beam_size": config.get_int("BEAM_SIZE", 1)},
         vad_options={
             "vad_onset": config.get_float("VAD_ONSET", 0.5),
             "vad_offset": config.get_float("VAD_OFFSET", 0.363),

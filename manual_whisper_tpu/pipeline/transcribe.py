@@ -169,6 +169,9 @@ class TranscribePipeline:
                     xa, [0.0] * rows, [self.window_sec] * rows)
             else:
                 decoder.decode(xa, temperature=0.0)
+                if decoder.opts.beam_size > 1:
+                    # fallback rungs run the greedy/sampled kernel
+                    decoder.decode(xa, temperature=1.0)
         if language is None and self.language is None:
             self.detect_language(np.zeros(1600, np.float32))
         if progress_callback:

@@ -254,7 +254,7 @@ class PipelineBackend:
         self.model_name = model_name or config.get_env(
             "WHISPER_MODEL", "large-v3")
         self.batch_size = batch_size or config.get_int("BATCH_SIZE", 16)
-        asr_options = {}
+        asr_options = {"beam_size": config.get_int("BEAM_SIZE", 1)}
         if config.get_bool("USE_INITIAL_PROMPT", False):
             asr_options["initial_prompt"] = config.get_env(
                 "INITIAL_PROMPT", INITIAL_PROMPT)
