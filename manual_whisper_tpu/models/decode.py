@@ -215,9 +215,18 @@ class BatchDecoder:
                temperature: float = 0.0) -> List[SegmentResult]:
         """Decode a batch of encoded segments xa [B, Ta, d] at one
         temperature; returns per-segment results with quality stats."""
+        return self.decode_finalize(self.decode_submit(xa, temperature),
+                                    int(xa.shape[0]), temperature)
+
+    def decode_submit(self, xa: jnp.ndarray, temperature: float = 0.0):
+        """Dispatch the decode program WITHOUT fetching results.
+
+        JAX dispatch is asynchronous: submitting every batch's first-rung
+        decode before fetching any lets batch i+1's device time overlap
+        batch i's host fetch + post-processing (pipeline/transcribe.py
+        uses this; tunnel/PCIe round-trips are a real per-batch cost)."""
         tk = self.tokenizer
         prefix, sot_index = self._prefix()
-        b = int(xa.shape[0])
         max_new = min(self.opts.max_new_tokens,
                       self.cfg.n_text_ctx - len(prefix) - 1)
         if self.opts.beam_size > 1 and temperature == 0.0:
@@ -237,6 +246,12 @@ class BatchDecoder:
                 sot_index=sot_index,
                 no_speech_token=tk.special.no_speech,
                 int8_cross_kv=self.opts.int8_cross_kv)
+        return out
+
+    def decode_finalize(self, out, b: int, temperature: float = 0.0
+                        ) -> List[SegmentResult]:
+        """Fetch a decode_submit handle and build SegmentResults."""
+        tk = self.tokenizer
         # one device->host round trip for all outputs
         tokens, sum_lp, lengths, no_speech = jax.device_get(out)
 
@@ -259,8 +274,13 @@ class BatchDecoder:
                                ) -> List[List[dict]]:
         """Timestamp-rule greedy decode -> per-row sub-segment lists
         (the without_timestamps=False mode; models/timestamps.py)."""
-        from .timestamps import (greedy_timestamps_jit,
-                                 split_segments_by_timestamps)
+        return self.timestamps_finalize(self.timestamps_submit(xa),
+                                        chunk_starts, chunk_durations)
+
+    def timestamps_submit(self, xa: jnp.ndarray):
+        """Dispatch the timestamp-mode decode without fetching (see
+        decode_submit for why)."""
+        from .timestamps import greedy_timestamps_jit
         tk = self.tokenizer
         ts_opts = dataclasses.replace(self.opts, without_timestamps=False)
         suppress = jnp.asarray(build_suppress_mask(tk, self.cfg, ts_opts))
@@ -269,9 +289,16 @@ class BatchDecoder:
                             without_timestamps=False), np.int32)
         max_new = min(self.opts.max_new_tokens,
                       self.cfg.n_text_ctx - len(prefix) - 1)
-        tokens, _, _ = jax.device_get(greedy_timestamps_jit(
+        return greedy_timestamps_jit(
             self.params, xa, jnp.asarray(prefix), suppress,
-            tk.special.eot, tk.special.timestamp_begin, self.cfg, max_new))
+            tk.special.eot, tk.special.timestamp_begin, self.cfg, max_new)
+
+    def timestamps_finalize(self, out, chunk_starts: Sequence[float],
+                            chunk_durations: Sequence[float]
+                            ) -> List[List[dict]]:
+        from .timestamps import split_segments_by_timestamps
+        tk = self.tokenizer
+        tokens, _, _ = jax.device_get(out)
         return [
             split_segments_by_timestamps(tokens[i], tk,
                                          float(chunk_starts[i]),
@@ -289,9 +316,12 @@ class BatchDecoder:
             return True
         return False
 
-    def decode_with_fallback(self, xa: jnp.ndarray) -> List[SegmentResult]:
+    def decode_with_fallback(self, xa: jnp.ndarray,
+                             first=None) -> List[SegmentResult]:
         """faster-whisper style temperature ladder: retry failing segments
         at increasing temperature; keep the first passing result.
+        ``first`` takes an already-dispatched decode_submit handle for the
+        first rung (cross-batch async overlap).
 
         Retry sub-batches are padded up to the same power-of-two bucket
         ladder the chunk batcher uses, so a retry of (say) 3 rows out of 16
@@ -299,7 +329,9 @@ class BatchDecoder:
         compile mid-job (minutes on large checkpoints)."""
         from ..pipeline.chunking import _bucket_for
         temps = self.opts.temperatures or (0.0,)
-        results = self.decode(xa, temperature=temps[0])
+        if first is None:
+            first = self.decode_submit(xa, temps[0])
+        results = self.decode_finalize(first, int(xa.shape[0]), temps[0])
         pending = [i for i, r in enumerate(results)
                    if self._needs_fallback(r)]
         for temp in temps[1:]:

@@ -234,10 +234,18 @@ class TranscribePipeline:
                                window_samples=self.window_samples)
         segments: List[dict] = []
         t0 = time.time()
-        # submit every encode first: JAX dispatch is async, so encoder
-        # compute for batch i+1 overlaps host work / fetches of batch i
+        # submit every encode AND every first-rung decode before fetching
+        # anything: JAX dispatch is async, so batch i+1's encoder+decoder
+        # device time overlaps batch i's host fetch/post-processing (and
+        # the per-dispatch round-trip cost, which dominates on a remote
+        # chip). Fallback retries are rare and stay synchronous.
         encoded = [self._encode_windows(w) for w, _ in batches]
         use_ts = not self.asr_options.get("without_timestamps", True)
+        first_temp = decoder.opts.temperatures[0] \
+            if decoder.opts.temperatures else 0.0
+        submitted = [decoder.timestamps_submit(xa) if use_ts
+                     else decoder.decode_submit(xa, first_temp)
+                     for xa in encoded]
         for bi, (windows, group) in enumerate(batches):
             xa = encoded[bi]
             if use_ts:
@@ -248,14 +256,15 @@ class TranscribePipeline:
                 pad = len(windows) - len(group)
                 starts += [0.0] * pad
                 durs += [0.0] * pad
-                per_row = decoder.decode_with_timestamps(xa, starts, durs)
+                per_row = decoder.timestamps_finalize(
+                    submitted[bi], starts, durs)
                 for ch, row in zip(group, per_row):
                     segments.extend(row)
                 pct = 5.0 + 95.0 * (bi + 1) / len(batches)
                 report(pct, f"transcribed batch {bi + 1}/{len(batches)} "
                             f"({time.time() - t0:.1f}s)")
                 continue
-            results = decoder.decode_with_fallback(xa)
+            results = decoder.decode_with_fallback(xa, first=submitted[bi])
             for ch, res in zip(group, results):
                 if decoder.is_no_speech(res):
                     continue

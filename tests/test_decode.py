@@ -92,24 +92,23 @@ def test_compression_ratio():
 
 
 def test_fallback_ladder_retries_failing_rows(setup, monkeypatch):
+    """log_prob_threshold ~0 makes every rung fail: the ladder must visit
+    every retry temperature (the first rung goes through the async
+    submit/finalize path, retries through decode())."""
     params, cfg, tk, xa = setup
     dec = _decoder(params, cfg, tk, temperatures=(0.0, 0.5, 1.0),
-                   log_prob_threshold=-1.0)
+                   log_prob_threshold=-1e-9)
     calls = []
     real_decode = dec.decode
 
     def spy(xa_in, temperature=0.0):
         calls.append((int(xa_in.shape[0]), temperature))
-        out = real_decode(xa_in, temperature)
-        if temperature < 1.0:  # force "bad" quality until the last rung
-            for r in out:
-                r.avg_logprob = -10.0
-        return out
+        return real_decode(xa_in, temperature)
 
     monkeypatch.setattr(dec, "decode", spy)
     results = dec.decode_with_fallback(xa)
-    assert [c[1] for c in calls] == [0.0, 0.5, 1.0]
-    assert calls[0][0] == 3 and calls[1][0] == 3
+    assert [c[1] for c in calls] == [0.5, 1.0]   # retries only
+    assert all(c[0] == 3 for c in calls)
     assert all(r.temperature == 1.0 for r in results)
 
 
@@ -118,24 +117,21 @@ def test_fallback_retries_pad_to_bucket(setup, monkeypatch):
     out of 4 retry as a padded 4-row call, not a fresh 3-row program."""
     params, cfg, tk, xa3 = setup
     xa = jnp.concatenate([xa3, xa3[:1]], axis=0)  # batch 4
-    dec = _decoder(params, cfg, tk, temperatures=(0.0, 0.5),
-                   log_prob_threshold=-1.0)
+    dec = _decoder(params, cfg, tk, temperatures=(0.0, 0.5))
     calls = []
     real_decode = dec.decode
 
     def spy(xa_in, temperature=0.0):
         calls.append(int(xa_in.shape[0]))
-        out = real_decode(xa_in, temperature)
-        if temperature == 0.0:  # rows 0-2 fail, row 3 passes
-            for r in out[:3]:
-                r.avg_logprob = -10.0
-            if len(out) > 3:
-                out[3].avg_logprob = -0.1
-        return out
+        return real_decode(xa_in, temperature)
 
+    # rows 0-2 fail the first rung, row 3 passes; retries never fail
+    verdicts = iter([True, True, True, False])
+    monkeypatch.setattr(dec, "_needs_fallback",
+                        lambda r: next(verdicts, False))
     monkeypatch.setattr(dec, "decode", spy)
     results = dec.decode_with_fallback(xa)
-    assert calls == [4, 4]  # 3 pending rows padded up to the 4-bucket
+    assert calls == [4]  # one retry: 3 pending rows padded to the 4-bucket
     assert len(results) == 4
     assert all(r.temperature == 0.5 for r in results[:3])
     assert results[3].temperature == 0.0  # passing row untouched

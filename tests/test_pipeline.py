@@ -151,3 +151,18 @@ def test_whisperx_style_top_level_api():
     assert callable(mwx.DiarizationPipeline)
     with pytest.raises(AttributeError):
         mwx.nonexistent_symbol
+
+
+def test_baseline_config_harness_runs():
+    """tools/run_configs.py config 1 (single-window greedy) on the tiny
+    model: the harness exercises pipeline + cleaners and reports RTF."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "tools/run_configs.py"
+    spec = importlib.util.spec_from_file_location("run_configs", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    row = mod.run_config(1, model_override="test")
+    assert row["config"] == 1 and row["audio_sec"] == 30.0
+    assert row["rtf"] > 0 and row["segments"] >= 0

@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Run the five BASELINE.json measurement configs end-to-end.
+
+Each config exercises a different slice of the pipeline (BASELINE.json
+"configs"; the reference publishes no numbers of its own, BASELINE.md):
+
+  1. small, single 30 s WAV, greedy, no diarization
+  2. medium, VAD-segmented batched inference (BATCH_SIZE=4), 5-min audio
+  3. large-v3 zh + wav2vec2 forced alignment (word timestamps)
+  4. large-v3 + diarization (multi-speaker, speaker-labeled turns)
+  5. 1-hour long-form: full pipeline to Markdown/JSON
+
+Prints one JSON line per config: {"config", "rtf", "wall_sec",
+"audio_sec", "segments", "notes"}.
+
+Audio is synthetic (no datasets in the image) and weights are random
+unless MWX_WEIGHTS_DIR points at converted checkpoints — identical
+compute graph and memory traffic either way, so RTF is representative
+while WER/DER require real weights (eval/metrics.py scores them when
+references exist). m4a decode needs ffmpeg (audio/io.py gates on it);
+the synthetic inputs here are WAV-shaped arrays.
+
+Usage: python tools/run_configs.py [--configs 1,2,5] [--model-override test]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("MWX_ALLOW_RANDOM_WEIGHTS", "1")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def synth_meeting(seconds: float, n_speakers: int = 2,
+                  sr: int = 16000) -> np.ndarray:
+    """Speech-like bursts alternating between speaker-distinct carriers."""
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * sr)) / sr
+    x = 0.003 * rng.standard_normal(len(t)).astype(np.float32)
+    carriers = [180.0 + 70.0 * i for i in range(n_speakers)]
+    turn = 8.0
+    for i, f0 in enumerate(carriers):
+        mine = ((t // turn) % n_speakers == i) & ((t % turn) < turn - 1.0)
+        x[mine] += (0.35 * np.sin(2 * np.pi * f0 * t[mine])
+                    * (0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t[mine]))
+                    ).astype(np.float32)
+    return x
+
+
+def run_config(n: int, model_override=None) -> dict:
+    from manual_whisper_tpu.pipeline import load_model
+
+    spec = {
+        1: dict(model="small", seconds=30.0, batch=1, align=False,
+                diarize=False, speakers=1),
+        2: dict(model="medium", seconds=300.0, batch=4, align=False,
+                diarize=False, speakers=1),
+        3: dict(model="large-v3", seconds=120.0, batch=16, align=True,
+                diarize=False, speakers=1),
+        4: dict(model="large-v3", seconds=120.0, batch=16, align=False,
+                diarize=True, speakers=3),
+        5: dict(model="large-v3", seconds=3600.0, batch=16, align=True,
+                diarize=True, speakers=2),
+    }[n]
+    model_name = model_override or spec["model"]
+    notes = []
+
+    audio = synth_meeting(spec["seconds"], spec["speakers"])
+    duration = len(audio) / 16000.0
+
+    model = load_model(model_name, language="zh",
+                       asr_options={"max_new_tokens": 112})
+    model.transcribe(audio[: 16000 * 60], batch_size=spec["batch"],
+                     language="zh", temperature=(0.0,))  # compile warmup
+
+    t0 = time.time()
+    result = model.transcribe(audio, batch_size=spec["batch"],
+                              language="zh", temperature=(0.0,))
+
+    if spec["align"]:
+        try:
+            from manual_whisper_tpu.models.align import align_result
+            result = align_result(result, audio, language="zh")
+        except Exception as exc:  # degradation ladder, like the CLI
+            notes.append(f"alignment skipped: {exc}")
+    if spec["diarize"]:
+        try:
+            from manual_whisper_tpu.models.diarize import (
+                DiarizationPipeline, assign_word_speakers)
+            diar = DiarizationPipeline()(audio)
+            result = assign_word_speakers(diar, result)
+        except Exception as exc:
+            notes.append(f"diarization skipped: {exc}")
+
+    from manual_whisper_tpu.text import clean_result_segments
+    cleaned, _, _ = clean_result_segments(result.get("segments", []))
+    result["segments"] = cleaned
+
+    if n == 5:  # full pipeline includes the output contract
+        from manual_whisper_tpu.text import format_transcript
+        import tempfile
+        out = Path(tempfile.mkdtemp(prefix="mwx_cfg5_")) / "out.md"
+        format_transcript(result, "synthetic.wav", str(out), duration,
+                          time.time() - t0, model_size=model_name,
+                          compute_type="bfloat16", device="tpu")
+        notes.append(f"markdown+json written: {out}")
+
+    wall = time.time() - t0
+    return {
+        "config": n,
+        "model": model_name,
+        "rtf": round(duration / wall, 2),
+        "wall_sec": round(wall, 2),
+        "audio_sec": duration,
+        "segments": len(result.get("segments", [])),
+        "notes": notes,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5",
+                    help="comma-separated subset of 1-5")
+    ap.add_argument("--model-override", default=None,
+                    help="run every config on this model (e.g. 'test')")
+    args = ap.parse_args()
+    for n in [int(c) for c in args.configs.split(",") if c.strip()]:
+        print(json.dumps(run_config(n, args.model_override),
+                         ensure_ascii=False), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
