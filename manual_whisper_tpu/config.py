@@ -186,3 +186,22 @@ def parse_replacement_map_from_pairs(raw) -> Dict[str, str]:
         if src and dst:
             out[src] = dst
     return out
+
+
+def maybe_enable_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at $MWX_COMPILE_CACHE_DIR.
+
+    On a production TPU host this makes fresh processes (CLI runs, server
+    restarts) skip XLA recompiles entirely; idempotent and silent when the
+    variable is unset or the backend ignores the cache."""
+    path = get_env("MWX_COMPILE_CACHE_DIR")
+    if not path:
+        return
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir != path:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
+    except Exception:
+        pass

@@ -361,6 +361,7 @@ def load_model(name: str = "large-v3",
     except Exception:
         vad = None
 
+    config.maybe_enable_compile_cache()
     vad_opts = VadOptions(**vad_options) if vad_options else VadOptions()
     return TranscribePipeline(params, cfg, tokenizer, vad=vad,
                               asr_options=asr_options,

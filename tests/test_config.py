@@ -72,3 +72,21 @@ def test_typed_getters(monkeypatch):
     assert config.get_int("INT_BAD", 7) == 7
     assert config.get_float("FLOAT_OK", 0.0) == 0.36
     assert config.get_float("FLOAT_MISSING", 0.5) == 0.5
+
+
+def test_maybe_enable_compile_cache(monkeypatch, tmp_path):
+    from manual_whisper_tpu import config as c
+    import jax
+
+    monkeypatch.delenv("MWX_COMPILE_CACHE_DIR", raising=False)
+    c.clear_env_cache()
+    before = jax.config.jax_compilation_cache_dir
+    c.maybe_enable_compile_cache()      # unset -> no change
+    assert jax.config.jax_compilation_cache_dir == before
+
+    monkeypatch.setenv("MWX_COMPILE_CACHE_DIR", str(tmp_path))
+    c.clear_env_cache()
+    c.maybe_enable_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+    monkeypatch.delenv("MWX_COMPILE_CACHE_DIR")
+    c.clear_env_cache()
