@@ -19,6 +19,12 @@ const STRINGS = {
         record_start: "开始录音",
         record_stop: "停止录音",
         recording: "录音中…",
+        record_stop_confirm: "确定要停止录音吗？",
+        remove_file: "移除",
+        remove_confirm: "确定移除当前音频吗？",
+        confirm_ok: "确定",
+        confirm_cancel: "取消",
+        feedback: "意见反馈",
         step_upload: "上传",
         step_transcribe: "转写",
         step_process: "整理",
@@ -54,6 +60,12 @@ const STRINGS = {
         record_start: "Start recording",
         record_stop: "Stop recording",
         recording: "Recording…",
+        record_stop_confirm: "Stop this recording?",
+        remove_file: "Remove",
+        remove_confirm: "Remove the selected audio?",
+        confirm_ok: "OK",
+        confirm_cancel: "Cancel",
+        feedback: "Feedback",
         step_upload: "Upload",
         step_transcribe: "Transcribe",
         step_process: "Process",

@@ -26,6 +26,7 @@ const state = {
     lastPercent: 0,
     result: null,
     baseName: "transcript",
+    confirmAction: null,
 };
 
 // ---------------------------------------------------------------------------
@@ -60,13 +61,67 @@ document.addEventListener("DOMContentLoaded", () => {
         if (e.target.files.length) selectFile(e.target.files[0]);
     });
 
-    $("record-btn").addEventListener("click", toggleRecording);
+    $("record-btn").addEventListener("click", onRecordButton);
     $("start-btn").addEventListener("click", startTranscriptionTask);
     $("copy-btn").addEventListener("click", copyTranscript);
     $("download-md").addEventListener("click", () => downloadResult("md"));
     $("download-json").addEventListener("click", () => downloadResult("json"));
     $("new-task-btn").addEventListener("click", resetToInput);
+
+    // playback speed cycle on the preview player (1 -> 1.25 -> 1.5 -> 2
+    // -> 0.75), same ladder as the reference player
+    const speeds = [1, 1.25, 1.5, 2, 0.75];
+    let speedIdx = 0;
+    $("speed-btn").addEventListener("click", () => {
+        speedIdx = (speedIdx + 1) % speeds.length;
+        $("audio-preview").playbackRate = speeds[speedIdx];
+        $("speed-btn").textContent = `${speeds[speedIdx]}×`;
+    });
+    $("remove-file-btn").addEventListener("click", () =>
+        openConfirm(t("remove_confirm"), removeSelectedFile));
+
+    $("confirm-cancel").addEventListener("click", closeConfirm);
+    $("confirm-ok").addEventListener("click", () => {
+        const action = state.confirmAction;
+        closeConfirm();
+        if (action) action();
+    });
+    $("confirm-modal").addEventListener("click", (e) => {
+        if (e.target === $("confirm-modal")) closeConfirm();
+    });
 });
+
+// ---------------------------------------------------------------------------
+// confirm modal
+// ---------------------------------------------------------------------------
+
+function openConfirm(text, action) {
+    state.confirmAction = action;
+    $("confirm-text").textContent = text;
+    $("confirm-modal").hidden = false;
+}
+
+function closeConfirm() {
+    state.confirmAction = null;
+    $("confirm-modal").hidden = true;
+}
+
+function removeSelectedFile() {
+    state.file = null;
+    $("preview-row").hidden = true;
+    $("start-btn").disabled = true;
+    renderFileInfo();
+}
+
+function onRecordButton() {
+    // stopping mid-recording loses nothing but still deserves a confirm,
+    // matching the reference's stop/remove confirmation flow
+    if (state.recorder) {
+        openConfirm(t("record_stop_confirm"), toggleRecording);
+    } else {
+        toggleRecording();
+    }
+}
 
 function switchTab(name) {
     for (const tab of document.querySelectorAll(".tab")) {
@@ -100,7 +155,9 @@ function selectFile(file) {
     renderFileInfo();
     const player = $("audio-preview");
     player.src = URL.createObjectURL(file);
-    player.hidden = false;
+    player.playbackRate = 1;
+    $("speed-btn").textContent = "1×";
+    $("preview-row").hidden = false;
     $("start-btn").disabled = false;
 }
 
@@ -270,7 +327,7 @@ function resetToInput() {
     state.file = null;
     state.result = null;
     $("start-btn").disabled = true;
-    $("audio-preview").hidden = true;
+    $("preview-row").hidden = true;
     renderFileInfo();
     showSection("input");
 }
