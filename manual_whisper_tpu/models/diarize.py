@@ -250,17 +250,59 @@ def agglomerative_cluster(embeddings: np.ndarray,
                           max_speakers: Optional[int] = None) -> np.ndarray:
     """Cluster L2-normalised embeddings; returns labels [N].
 
-    Merges the closest pair (average-linkage cosine distance) until the
-    best distance exceeds ``threshold`` and speaker-count constraints hold.
+    Average-linkage cosine AHC cut at ``threshold``, re-cut to the
+    speaker-count bounds when they bind.  Uses scipy's O(n^2) linkage — a
+    1-hour recording yields ~2400 sliding windows, where a naive
+    pairwise-rescan merge loop takes hours; falls back to that loop only
+    when scipy is unavailable.
     """
     n = len(embeddings)
     if n == 0:
         return np.zeros(0, np.int64)
+    if n == 1:
+        return np.zeros(1, np.int64)
     max_speakers = max_speakers or n
+    try:
+        from scipy.cluster.hierarchy import fcluster, linkage
+        from scipy.spatial.distance import squareform
+    except ImportError:
+        return _agglomerative_cluster_py(embeddings, threshold,
+                                         min_speakers, max_speakers)
 
+    dist = np.clip(1.0 - embeddings @ embeddings.T, 0.0, None)
+    np.fill_diagonal(dist, 0.0)
+    link = linkage(squareform(dist, checks=False), method="average")
+    labels = fcluster(link, t=threshold, criterion="distance") - 1
+    k = int(labels.max()) + 1
+    if k > max_speakers:      # keep merging past the threshold (as the
+        k = max_speakers      # merge loop would) until the cap holds
+    elif k < min_speakers:    # never merge below the floor
+        k = min(min_speakers, n)
+    else:
+        k = None
+    if k is not None:
+        labels = fcluster(link, t=k, criterion="maxclust") - 1
+    return _stable_labels(labels)
+
+
+def _stable_labels(labels: np.ndarray) -> np.ndarray:
+    """Renumber clusters by first appearance (SPEAKER_00 speaks first)."""
+    out = np.zeros(len(labels), np.int64)
+    remap: Dict[int, int] = {}
+    for i, lab in enumerate(labels):
+        if lab not in remap:
+            remap[lab] = len(remap)
+        out[i] = remap[lab]
+    return out
+
+
+def _agglomerative_cluster_py(embeddings: np.ndarray, threshold: float,
+                              min_speakers: int, max_speakers: int
+                              ) -> np.ndarray:
+    """Pure-python merge loop (exact but O(n^3)-ish; small n only)."""
+    n = len(embeddings)
     clusters: List[List[int]] = [[i] for i in range(n)]
-    sims = embeddings @ embeddings.T
-    dist = 1.0 - sims
+    dist = 1.0 - embeddings @ embeddings.T
 
     def avg_dist(a: List[int], b: List[int]) -> float:
         return float(dist[np.ix_(a, b)].mean())
@@ -283,7 +325,6 @@ def agglomerative_cluster(embeddings: np.ndarray,
         del clusters[j]
 
     labels = np.zeros(n, np.int64)
-    # stable speaker numbering: order clusters by first appearance
     clusters.sort(key=min)
     for ci, members in enumerate(clusters):
         for m in members:

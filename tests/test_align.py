@@ -147,3 +147,29 @@ def test_group_words_whitespace():
     words = _group_words(text, times, "en")
     assert [w["word"] for w in words] == ["hi", "yo"]
     assert words[0]["start"] == 0.0 and words[1]["end"] == 0.5
+
+
+def test_random_align_model_fallback(monkeypatch):
+    """MWX_ALLOW_RANDOM_WEIGHTS lets benchmarks exercise the full
+    wav2vec2 + trellis path without checkpoints; without the flag the
+    loader still raises (degradation ladder)."""
+    import numpy as np
+    import pytest
+
+    from manual_whisper_tpu import config as c
+    from manual_whisper_tpu.models.align import align_result, \
+        load_align_model
+
+    monkeypatch.delenv("MWX_WEIGHTS_DIR", raising=False)
+    monkeypatch.setenv("MWX_ALLOW_RANDOM_WEIGHTS", "1")
+    c.clear_env_cache()
+    res = {"segments": [{"text": "我们的会议", "start": 0.0, "end": 2.0}]}
+    audio = (np.random.default_rng(0)
+             .standard_normal(16000 * 3).astype(np.float32) * 0.1)
+    out = align_result(res, audio, "zh")
+    assert out["segments"] and "word_segments" in out
+
+    monkeypatch.delenv("MWX_ALLOW_RANDOM_WEIGHTS")
+    c.clear_env_cache()
+    with pytest.raises(FileNotFoundError):
+        load_align_model("zh")

@@ -75,8 +75,9 @@ def run_config(n: int, model_override=None) -> dict:
 
     model = load_model(model_name, language="zh",
                        asr_options={"max_new_tokens": 112})
-    model.transcribe(audio[: 16000 * 60], batch_size=spec["batch"],
-                     language="zh", temperature=(0.0,))  # compile warmup
+    # compile every bucket the chunk scheduler can emit BEFORE timing —
+    # otherwise a bucket first seen mid-run bills its XLA compile to RTF
+    model.warmup(batch_size=spec["batch"])
 
     t0 = time.time()
     result = model.transcribe(audio, batch_size=spec["batch"],
