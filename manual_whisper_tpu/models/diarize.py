@@ -223,6 +223,36 @@ def load_embedding_params(name: str = "wespeaker-voxceleb-resnet34-LM",
     return convert_wespeaker_resnet(sd, cfg or EmbeddingConfig())
 
 
+_EMBED_CHUNK = 256  # windows per device dispatch (static shape)
+
+
+@partial(jax.jit, static_argnames=("n_mels",))
+def _stats_emb_jit(batch: jnp.ndarray, frames: jnp.ndarray, n_mels: int
+                   ) -> jnp.ndarray:
+    """Batched spectral_stats_embedding: rows [C, L] (zero-padded windows),
+    per-row valid mel-frame counts [C] -> L2-normalised embs [C, 3*n_mels].
+
+    One device dispatch embeds a whole chunk of sliding windows; the
+    per-window eager version costs a host->device round trip each (~0.1 s+
+    on a remote chip — minutes over the ~2400 windows of a 1-hour file).
+    """
+    mel = unnormalized_log_mel(batch, n_mels)            # [C, T, M]
+    t = mel.shape[1]
+    idx = jnp.arange(t)[None, :, None]
+    f = frames[:, None, None]
+    mask = (idx < f).astype(mel.dtype)
+    cnt = jnp.maximum(frames[:, None].astype(mel.dtype), 1.0)
+    mean = (mel * mask).sum(axis=1) / cnt
+    var = (((mel - mean[:, None]) ** 2) * mask).sum(axis=1) / cnt
+    std = jnp.sqrt(var)
+    dmask = (idx[:, :-1] < f - 1).astype(mel.dtype)
+    delta = (jnp.abs(mel[:, 1:] - mel[:, :-1]) * dmask).sum(axis=1) \
+        / jnp.maximum(cnt - 1.0, 1.0)
+    emb = jnp.concatenate([mean, std, delta], axis=-1)
+    norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb / jnp.maximum(norm, 1e-12)
+
+
 def spectral_stats_embedding(audio: np.ndarray, n_mels: int = 40
                              ) -> np.ndarray:
     """Weightless fallback speaker signature: mean/std/delta statistics of
@@ -383,6 +413,39 @@ class DiarizationPipeline:
         emb = embed_forward(self.embedding_params, mel, self.embedding_cfg)
         return np.asarray(emb)[0]
 
+    def _embed_windows(self, audio: np.ndarray,
+                       windows: List[Tuple[float, float]]) -> np.ndarray:
+        """Embed every sliding window in _EMBED_CHUNK-row device batches
+        (zero-padded rows + valid-frame masks for trailing short windows);
+        per-window dispatches pay a device round trip each and dominate
+        long recordings."""
+        row_len = max(int(round(self.window_sec * SAMPLE_RATE)), 400)
+        n = len(windows)
+        rows = np.zeros((n, row_len), np.float32)
+        frames = np.zeros(n, np.int32)
+        for i, (s, e) in enumerate(windows):
+            clip = audio[int(s * SAMPLE_RATE): int(e * SAMPLE_RATE)]
+            clip = clip[:row_len]
+            rows[i, : len(clip)] = clip
+            frames[i] = max(len(clip), 400) // 160
+
+        out = []
+        for lo in range(0, n, _EMBED_CHUNK):
+            chunk = rows[lo: lo + _EMBED_CHUNK]
+            cnt = frames[lo: lo + _EMBED_CHUNK]
+            pad = _EMBED_CHUNK - len(chunk)  # static shape across dispatches
+            if pad:
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+                cnt = np.pad(cnt, (0, pad), constant_values=1)
+            if self.embedding_params is None:
+                emb = _stats_emb_jit(chunk, cnt, 40)
+            else:
+                mel = unnormalized_log_mel(chunk, self.embedding_cfg.n_mels)
+                emb = embed_forward(self.embedding_params, mel,
+                                    self.embedding_cfg)
+            out.append(np.asarray(emb)[: len(chunk) - pad if pad else None])
+        return np.concatenate(out, axis=0)
+
     def _diarize_with_segmentation(self, audio: np.ndarray,
                                    min_speakers: Optional[int],
                                    max_speakers: Optional[int]
@@ -488,11 +551,7 @@ class DiarizationPipeline:
         if not windows:
             return []
 
-        embs = []
-        for s, e in windows:
-            clip = audio[int(s * SAMPLE_RATE): int(e * SAMPLE_RATE)]
-            embs.append(self._embed(clip))
-        embs = np.stack(embs)
+        embs = self._embed_windows(audio, windows)
         # center across the recording: shared structure (channel, silence
         # floor) otherwise dominates cosine similarity between speakers
         if len(embs) > 1:

@@ -205,3 +205,29 @@ def test_segmentation_based_pipeline_runs():
     # sorted by start time
     starts = [s["start"] for s in segments]
     assert starts == sorted(starts)
+
+
+def test_batched_window_embeddings_match_single():
+    """_embed_windows (chunked device batches) must match per-clip
+    spectral_stats_embedding for full windows and stay close for the
+    trailing short window (reflect-pad boundary differs by design)."""
+    import numpy as np
+
+    from manual_whisper_tpu.models.diarize import (DiarizationPipeline,
+                                                   spectral_stats_embedding)
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    audio = (0.2 * np.sin(2 * np.pi * 200 * np.arange(sr * 8) / sr)
+             + 0.01 * rng.standard_normal(sr * 8)).astype(np.float32)
+    dp = DiarizationPipeline(window_sec=3.0, step_sec=1.5)
+    windows = [(0.0, 3.0), (1.5, 4.5), (3.0, 6.0), (6.0, 8.0)]  # last short
+    batched = dp._embed_windows(audio, windows)
+    assert batched.shape == (4, 120)
+    for i, (s, e) in enumerate(windows):
+        single = spectral_stats_embedding(audio[int(s * sr): int(e * sr)])
+        cos = float(batched[i] @ single)
+        if e - s >= 3.0:
+            assert cos > 0.9999, (i, cos)
+        else:
+            assert cos > 0.99, (i, cos)

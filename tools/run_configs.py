@@ -60,9 +60,9 @@ def run_config(n: int, model_override=None) -> dict:
                 diarize=False, speakers=1),
         2: dict(model="medium", seconds=300.0, batch=4, align=False,
                 diarize=False, speakers=1),
-        3: dict(model="large-v3", seconds=120.0, batch=16, align=True,
+        3: dict(model="large-v3", seconds=480.0, batch=16, align=True,
                 diarize=False, speakers=1),
-        4: dict(model="large-v3", seconds=120.0, batch=16, align=False,
+        4: dict(model="large-v3", seconds=480.0, batch=16, align=False,
                 diarize=True, speakers=3),
         5: dict(model="large-v3", seconds=3600.0, batch=16, align=True,
                 diarize=True, speakers=2),
@@ -75,9 +75,27 @@ def run_config(n: int, model_override=None) -> dict:
 
     model = load_model(model_name, language="zh",
                        asr_options={"max_new_tokens": 112})
-    # compile every bucket the chunk scheduler can emit BEFORE timing —
-    # otherwise a bucket first seen mid-run bills its XLA compile to RTF
+    # compile every program the run can hit BEFORE timing — otherwise a
+    # bucket/model first seen mid-run bills its XLA compile to RTF
     model.warmup(batch_size=spec["batch"])
+    align_model = diarizer = None
+    if spec["align"]:
+        try:
+            from manual_whisper_tpu.models.align import (align_result,
+                                                         load_align_model)
+            align_model = load_align_model("zh")
+            align_result({"segments": [
+                {"text": "预热", "start": 0.0, "end": 1.0}]},
+                audio[: 16000 * 10], "zh", model=align_model)
+        except Exception as exc:
+            notes.append(f"alignment unavailable: {exc}")
+    if spec["diarize"]:
+        try:
+            from manual_whisper_tpu.models.diarize import DiarizationPipeline
+            diarizer = DiarizationPipeline()
+            diarizer(audio[: 16000 * 10])
+        except Exception as exc:
+            notes.append(f"diarization unavailable: {exc}")
 
     t0 = time.time()
     result = model.transcribe(audio, batch_size=spec["batch"],
