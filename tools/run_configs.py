@@ -101,18 +101,16 @@ def run_config(n: int, model_override=None) -> dict:
     result = model.transcribe(audio, batch_size=spec["batch"],
                               language="zh", temperature=(0.0,))
 
-    if spec["align"]:
+    if align_model is not None:
         try:
-            from manual_whisper_tpu.models.align import align_result
-            result = align_result(result, audio, language="zh")
+            result = align_result(result, audio, "zh", model=align_model)
         except Exception as exc:  # degradation ladder, like the CLI
             notes.append(f"alignment skipped: {exc}")
-    if spec["diarize"]:
+    if diarizer is not None:
         try:
-            from manual_whisper_tpu.models.diarize import (
-                DiarizationPipeline, assign_word_speakers)
-            diar = DiarizationPipeline()(audio)
-            result = assign_word_speakers(diar, result)
+            from manual_whisper_tpu.models.diarize import \
+                assign_word_speakers
+            result = assign_word_speakers(diarizer(audio), result)
         except Exception as exc:
             notes.append(f"diarization skipped: {exc}")
 
