@@ -59,3 +59,23 @@ def test_der_empty_cases():
     assert der([], []) == 0.0
     assert der([], [_seg(0, 1, "X")]) == 1.0
     assert der([_seg(0, 1, "A")], [], collar=0.0) == pytest.approx(1.0)
+
+
+def test_run_eval_tool_rttm_parser(tmp_path):
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "tools/run_eval.py"
+    spec = importlib.util.spec_from_file_location("run_eval", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rttm = tmp_path / "a.rttm"
+    rttm.write_text(
+        "SPEAKER rec 1 0.00 2.50 <NA> <NA> SPEAKER_00 <NA>\n"
+        "SPEAKER rec 1 2.50 1.00 <NA> <NA> SPEAKER_01 <NA>\n"
+        "JUNK line ignored\n", encoding="utf-8")
+    segs = mod.read_rttm(str(rttm))
+    assert segs == [
+        {"start": 0.0, "end": 2.5, "speaker": "SPEAKER_00"},
+        {"start": 2.5, "end": 3.5, "speaker": "SPEAKER_01"},
+    ]
