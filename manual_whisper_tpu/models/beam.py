@@ -4,9 +4,10 @@ WhisperX's faster-whisper backend decodes with beam_size=5 by default
 (the engine the reference drives via model.transcribe, transcribe.py:123);
 this is the TPU equivalent.  Memory-conscious layout:
 
-- cross-attention K/V stays [L, B, H, Ta, dh] and is SHARED across beams
-  inside the attention einsum (tiling it for large-v3 at batch 8 x beam 5
-  would cost ~20 GB of HBM);
+- cross-attention K/V stays [L, B, H, dh, Ta] (transposed so Ta, not the
+  64-wide dh, sits on the 128-lane axis — avoiding a 2x padding expansion)
+  and is SHARED across beams inside the attention einsum (tiling it for
+  large-v3 at batch 8 x beam 5 would cost ~20 GB of HBM);
 - the self-attention cache is NEVER physically reordered after top-k.
   Slots stay append-only ([L, B, K, H, T, dh]: time column t holds the K
   candidates written at step t); each surviving beam carries an ancestry
@@ -44,7 +45,7 @@ def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos, oh):
     """One decoder block for beam-shaped activations.
 
     h [B, K, d]; self cache ck/cv [B, K, H, T, dh] (slot k updated at
-    ``pos``); cross x_k/x_v [B, H, Ta, dh] shared across beams;
+    ``pos``); cross x_k/x_v [B, H, dh, Ta] (transposed) shared across beams;
     oh [B, K, J, T] one-hot ancestry (oh[b,k,j,t]=1 iff beam k's token at
     time t lives in cache slot j) — the lazy beam reorder.
     """
@@ -75,10 +76,10 @@ def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos, oh):
 
     x_in = _layer_norm(h, blk["lnx"])
     xq = heads(mm(x_in, blk["xattn"]["q_w"]) + blk["xattn"]["q_b"])
-    xscores = jnp.einsum("bkhd,bhtd->bkht", xq, x_k,
+    xscores = jnp.einsum("bkhd,bhdt->bkht", xq, x_k,
                          preferred_element_type=jnp.float32) * dh ** -0.5
     xprobs = jax.nn.softmax(xscores, axis=-1).astype(xq.dtype)
-    xattn = jnp.einsum("bkht,bhtd->bkhd", xprobs, x_v).reshape(b, k, d)
+    xattn = jnp.einsum("bkht,bhdt->bkhd", xprobs, x_v).reshape(b, k, d)
     h = h + (mm(xattn, blk["xattn"]["o_w"]) + blk["xattn"]["o_b"])
 
     m_in = _layer_norm(h, blk["ln2"])
@@ -88,7 +89,7 @@ def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos, oh):
 def _beam_step(params, cfg, token, pos, cache, cross_kv, oh):
     """token [B, K] at absolute position ``pos`` -> (logits [B,K,V], cache).
 
-    cache: (k, v) [L, B, K, H, T, dh]; cross_kv: (k, v) [L, B, H, Ta, dh];
+    cache: (k, v) [L, B, K, H, T, dh]; cross_kv: (k, v) [L, B, H, dh, Ta] (transposed);
     oh [B, K, J, T] one-hot ancestry shared by every layer.
     """
     dec = params["decoder"]
@@ -137,7 +138,7 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
     eot_i32 = jnp.int32(eot)
     vocab = cfg.n_vocab
 
-    cross_kv = precompute_cross_kv(params, xa, cfg)        # [L,B,H,Ta,dh]
+    cross_kv = precompute_cross_kv(params, xa, cfg)        # [L,B,H,dh,Ta]
     cache = init_kv_cache(cfg, b, max_len=p + max_new)
     prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
     prefill_logits, cache = decoder_forward(

@@ -285,8 +285,11 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
                         cfg: WhisperConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cross-attention K/V for all layers from encoder output xa [B, Ta, d].
 
-    Returns (k, v) of shape [L, B, H, Ta, dh]; computed once per segment,
-    reused by every decode step.
+    Returns (k, v) TRANSPOSED to [L, B, H, dh, Ta]; computed once per
+    segment, reused by every decode step.  Layout matters: with dh (64) on
+    the minor axis the TPU pads it to the 128-lane tile — a 2x expansion of
+    the decode loop's dominant HBM tensor; with Ta (1500) minor the padding
+    is ~2%, halving the bytes every step reads.
     """
     n_head = cfg.n_text_head
 
@@ -294,7 +297,7 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
         k = _split_heads(mm(xa, blk["xattn"]["k_w"]), n_head)
         v = _split_heads(mm(xa, blk["xattn"]["v_w"]) + blk["xattn"]["v_b"],
                          n_head)
-        return None, (k, v)
+        return None, (jnp.swapaxes(k, -1, -2), jnp.swapaxes(v, -1, -2))
 
     _, (ks, vs) = jax.lax.scan(layer_kv, None, params["decoder"]["blocks"])
     return ks, vs
@@ -308,11 +311,12 @@ def quantize_cross_kv(cross_kv):
     scales commute exactly out of the attention dots:
     (q . k_q[t]) * s_k[t] for scores and (p[t] * s_v[t]) @ v_q for values,
     so the only approximation is int8 rounding of K/V themselves.
-    Returns (k_q, k_s, v_q, v_s) with scales shaped [..., T, 1] float32.
+    Takes/returns the transposed [..., dh, T] layout:
+    (k_q, k_s, v_q, v_s) with scales shaped [..., 1, T] float32.
     """
     def q(x):
         x32 = x.astype(jnp.float32)
-        s = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+        s = jnp.max(jnp.abs(x32), axis=-2, keepdims=True) / 127.0
         s = jnp.maximum(s, 1e-8)
         qx = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
         return qx, s
@@ -332,21 +336,22 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
 
 
 def _cross_attend(xq, xkv, dh):
-    """Cross attention scores/values; xkv is (k, v) or the int8 4-tuple
-    from quantize_cross_kv (scales commute out of the dots exactly)."""
+    """Cross attention scores/values; xkv is transposed (k, v) of
+    [B, H, dh, T] or the int8 4-tuple from quantize_cross_kv (scales
+    commute out of the dots exactly)."""
     if len(xkv) == 2:
         x_k, x_v = xkv
-        xscores = jnp.einsum("bhqd,bhkd->bhqk", xq, x_k,
+        xscores = jnp.einsum("bhqd,bhdk->bhqk", xq, x_k,
                              preferred_element_type=jnp.float32) * dh ** -0.5
         xprobs = jax.nn.softmax(xscores, axis=-1).astype(xq.dtype)
-        return jnp.einsum("bhqk,bhkd->bhqd", xprobs, x_v)
+        return jnp.einsum("bhqk,bhdk->bhqd", xprobs, x_v)
     k_q, k_s, v_q, v_s = xkv
-    xscores = jnp.einsum("bhqd,bhkd->bhqk", xq, k_q.astype(xq.dtype),
+    xscores = jnp.einsum("bhqd,bhdk->bhqk", xq, k_q.astype(xq.dtype),
                          preferred_element_type=jnp.float32) * dh ** -0.5
-    xscores = xscores * k_s[..., 0][:, :, None, :]
+    xscores = xscores * k_s[..., 0, :][:, :, None, :]
     xprobs = jax.nn.softmax(xscores, axis=-1)
-    xprobs = (xprobs * v_s[..., 0][:, :, None, :]).astype(xq.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", xprobs, v_q.astype(xq.dtype))
+    xprobs = (xprobs * v_s[..., 0, :][:, :, None, :]).astype(xq.dtype)
+    return jnp.einsum("bhqk,bhdk->bhqd", xprobs, v_q.astype(xq.dtype))
 
 
 def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, xkv):
