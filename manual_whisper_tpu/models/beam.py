@@ -9,7 +9,7 @@ this is the TPU equivalent.  Memory-conscious layout:
   and is SHARED across beams inside the attention einsum (tiling it for
   large-v3 at batch 8 x beam 5 would cost ~20 GB of HBM);
 - the self-attention cache is NEVER physically reordered after top-k.
-  Slots stay append-only ([L, B, K, H, T, dh]: time column t holds the K
+  Slots stay append-only ([L, B, K, H, dh, T]: time column t holds the K
   candidates written at step t); each surviving beam carries an ancestry
   index anc[B, K, T] ("which slot holds my token at time t"), and the
   permutation folds into the attention einsums as a one-hot contraction
@@ -44,7 +44,7 @@ NEG_INF = -1e30
 def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos, oh):
     """One decoder block for beam-shaped activations.
 
-    h [B, K, d]; self cache ck/cv [B, K, H, T, dh] (slot k updated at
+    h [B, K, d]; self cache ck/cv [B, K, H, dh, T] (slot k updated at
     ``pos``); cross x_k/x_v [B, H, dh, Ta] (transposed) shared across beams;
     oh [B, K, J, T] one-hot ancestry (oh[b,k,j,t]=1 iff beam k's token at
     time t lives in cache slot j) — the lazy beam reorder.
@@ -60,18 +60,18 @@ def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos, oh):
     new_k = heads(mm(a_in, blk["attn"]["k_w"]))
     new_v = heads(mm(a_in, blk["attn"]["v_w"]) + blk["attn"]["v_b"])
     ck = jax.lax.dynamic_update_slice(
-        ck, new_k[:, :, :, None].astype(ck.dtype), (0, 0, 0, pos, 0))
+        ck, new_k[..., None].astype(ck.dtype), (0, 0, 0, 0, pos))
     cv = jax.lax.dynamic_update_slice(
-        cv, new_v[:, :, :, None].astype(cv.dtype), (0, 0, 0, pos, 0))
+        cv, new_v[..., None].astype(cv.dtype), (0, 0, 0, 0, pos))
     # score against every parent slot j, then select the true ancestor via
     # the one-hot: one sequential cache read, zero re-gather traffic
-    s_all = jnp.einsum("bkhd,bjhtd->bkjht", q, ck,
+    s_all = jnp.einsum("bkhd,bjhdt->bkjht", q, ck,
                        preferred_element_type=jnp.float32) * dh ** -0.5
     scores = jnp.einsum("bkjht,bkjt->bkht", s_all, oh)
     scores = scores + mask                   # [B, K, H, T] + [T]
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     probs_j = probs[:, :, None] * oh[:, :, :, None, :].astype(q.dtype)
-    attn = jnp.einsum("bkjht,bjhtd->bkhd", probs_j, cv).reshape(b, k, d)
+    attn = jnp.einsum("bkjht,bjhdt->bkhd", probs_j, cv).reshape(b, k, d)
     h = h + (mm(attn, blk["attn"]["o_w"]) + blk["attn"]["o_b"])
 
     x_in = _layer_norm(h, blk["lnx"])
@@ -89,14 +89,14 @@ def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos, oh):
 def _beam_step(params, cfg, token, pos, cache, cross_kv, oh):
     """token [B, K] at absolute position ``pos`` -> (logits [B,K,V], cache).
 
-    cache: (k, v) [L, B, K, H, T, dh]; cross_kv: (k, v) [L, B, H, dh, Ta] (transposed);
+    cache: (k, v) [L, B, K, H, dh, T]; cross_kv: (k, v) [L, B, H, dh, Ta] (transposed);
     oh [B, K, J, T] one-hot ancestry shared by every layer.
     """
     dec = params["decoder"]
     n_head = cfg.n_text_head
     cache_k, cache_v = cache
     x_k, x_v = cross_kv
-    max_len = cache_k.shape[4]
+    max_len = cache_k.shape[-1]
 
     x = dec["tok_emb"][token] + jax.lax.dynamic_index_in_dim(
         dec["pos_emb"], pos, axis=0, keepdims=False)
@@ -144,7 +144,7 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
     prefill_logits, cache = decoder_forward(
         params, prefix_b, xa, cfg, pos_offset=0, kv_cache=cache)
 
-    # [L, B, H, T, dh] -> [L, B, K, H, T, dh] (beams start identical)
+    # [L, B, H, dh, T] -> [L, B, K, H, dh, T] (beams start identical)
     def tile(c):
         return jnp.broadcast_to(
             c[:, :, None], (c.shape[0], b, k) + c.shape[2:])

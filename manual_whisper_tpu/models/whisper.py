@@ -11,9 +11,10 @@ Replaces the CTranslate2 C++ engine the reference drives through
   from HF checkpoints is a pure re-layout (convert/from_hf.py).
 - **bf16 by default** with float32 layernorm/softmax accumulation; the MXU
   natively consumes bf16.
-- **KV cache decode**: `decode_step` consumes/updates [L, B, H, T, dh]
-  caches via dynamic_update_slice; cross-attention K/V is precomputed once
-  per segment (`precompute_cross_kv`).
+- **KV cache decode**: `decode_step` consumes/updates [L, B, H, dh, T]
+  caches via dynamic_update_slice (position axis on the 128-lane tile —
+  a [.., T, 64] layout pads 2x); cross-attention K/V is precomputed once
+  per segment (`precompute_cross_kv`) in the same transposed layout.
 - Encoder self-attention (1500 ctx) can route to the Pallas flash kernel
   (ops/attention.py) via ``use_flash``.
 
@@ -328,10 +329,13 @@ def quantize_cross_kv(cross_kv):
 
 def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Self-attention KV cache [L, B, H, max_len, dh] (zeros)."""
+    """Self-attention KV cache [L, B, H, dh, max_len] (zeros).
+
+    Transposed like the cross K/V: the position axis sits on the 128-lane
+    tile instead of the 64-wide head dim (which would pad 2x)."""
     max_len = max_len or cfg.n_text_ctx
-    shape = (cfg.n_text_layer, batch, cfg.n_text_head, max_len,
-             cfg.n_text_state // cfg.n_text_head)
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head,
+             cfg.n_text_state // cfg.n_text_head, max_len)
     return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
 
 
@@ -355,17 +359,18 @@ def _cross_attend(xq, xkv, dh):
 
 
 def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, xkv):
-    """One decoder block given explicit self-attn K/V and cross K/V."""
+    """One decoder block given explicit self-attn K/V ([B, H, dh, T]
+    transposed) and cross K/V."""
     a_in = _layer_norm(h, blk["ln1"])
     q = _split_heads(mm(a_in, blk["attn"]["q_w"]) + blk["attn"]["q_b"],
                      n_head)
     dh = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, self_k,
+    scores = jnp.einsum("bhqd,bhdk->bhqk", q, self_k,
                         preferred_element_type=jnp.float32) * dh ** -0.5
     if self_mask is not None:
         scores = scores + self_mask
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    attn_out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, self_v))
+    attn_out = _merge_heads(jnp.einsum("bhqk,bhdk->bhqd", probs, self_v))
     h = h + (mm(attn_out, blk["attn"]["o_w"]) + blk["attn"]["o_b"])
 
     x_in = _layer_norm(h, blk["lnx"])
@@ -387,7 +392,7 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
     """Teacher-forced / prefill decoder pass.
 
     tokens [B, T] -> logits [B, T, n_vocab].  If ``kv_cache`` given (shape
-    [L, B, H, max_len, dh]), writes K/V at positions
+    [L, B, H, dh, max_len], transposed), writes K/V at positions
     [pos_offset, pos_offset+T) and attends over the full prefix; returns the
     updated cache for the decode loop to continue from.
     """
@@ -405,7 +410,7 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
         max_len = t
     else:
         cache_k, cache_v = kv_cache
-        max_len = cache_k.shape[3]
+        max_len = cache_k.shape[-1]
 
     # causal mask over cache positions: query i (abs pos_offset+i) sees
     # cache slots <= pos_offset+i
@@ -421,9 +426,11 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
         new_v = _split_heads(mm(a_in, blk["attn"]["v_w"])
                              + blk["attn"]["v_b"], n_head)
         ck = jax.lax.dynamic_update_slice(
-            ck, new_k.astype(ck.dtype), (0, 0, pos_offset, 0))
+            ck, jnp.swapaxes(new_k, -1, -2).astype(ck.dtype),
+            (0, 0, 0, pos_offset))
         cv = jax.lax.dynamic_update_slice(
-            cv, new_v.astype(cv.dtype), (0, 0, pos_offset, 0))
+            cv, jnp.swapaxes(new_v, -1, -2).astype(cv.dtype),
+            (0, 0, 0, pos_offset))
         h = _decoder_block(h, blk, n_head, ck, cv, mask, xkv)
         return h, (ck, cv)
 
@@ -448,7 +455,7 @@ def decode_step(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
     dec = params["decoder"]
     n_head = cfg.n_text_head
     cache_k, cache_v = kv_cache
-    max_len = cache_k.shape[3]
+    max_len = cache_k.shape[-1]
 
     x = dec["tok_emb"][token] + jax.lax.dynamic_index_in_dim(
         dec["pos_emb"], pos, axis=0, keepdims=False)
@@ -466,9 +473,9 @@ def decode_step(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
         new_v = _split_heads(mm(a_in, blk["attn"]["v_w"])
                              + blk["attn"]["v_b"], n_head)
         ck = jax.lax.dynamic_update_slice(
-            ck, new_k.astype(ck.dtype), (0, 0, pos, 0))
+            ck, jnp.swapaxes(new_k, -1, -2).astype(ck.dtype), (0, 0, 0, pos))
         cv = jax.lax.dynamic_update_slice(
-            cv, new_v.astype(cv.dtype), (0, 0, pos, 0))
+            cv, jnp.swapaxes(new_v, -1, -2).astype(cv.dtype), (0, 0, 0, pos))
         h = _decoder_block(h, blk, n_head, ck, cv, mask, xkv)
         return h, (ck, cv)
 
