@@ -27,7 +27,7 @@ import numpy as np
 
 from ..tokenizer import WhisperTokenizer
 from .whisper import (Params, WhisperConfig, decode_step, decoder_forward,
-                      init_kv_cache, precompute_cross_kv, quantize_cross_kv)
+                      init_kv_cache, precompute_cross_kv)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,9 +105,7 @@ def greedy_decode_jit(params: Params, xa: jnp.ndarray,
     p = prefix.shape[0]
     eot_i32 = jnp.int32(eot)
 
-    cross_kv = precompute_cross_kv(params, xa, cfg)
-    if int8_cross_kv:
-        cross_kv = quantize_cross_kv(cross_kv)
+    cross_kv = precompute_cross_kv(params, xa, cfg, quantize=int8_cross_kv)
     cache = init_kv_cache(cfg, b, max_len=p + max_new)
 
     prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))

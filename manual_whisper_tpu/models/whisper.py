@@ -283,7 +283,7 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
 # -- decoder -----------------------------------------------------------------
 
 def precompute_cross_kv(params: Params, xa: jnp.ndarray,
-                        cfg: WhisperConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        cfg: WhisperConfig, quantize: bool = False):
     """Cross-attention K/V for all layers from encoder output xa [B, Ta, d].
 
     Returns (k, v) TRANSPOSED to [L, B, H, dh, Ta]; computed once per
@@ -291,17 +291,33 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
     the minor axis the TPU pads it to the 128-lane tile — a 2x expansion of
     the decode loop's dominant HBM tensor; with Ta (1500) minor the padding
     is ~2%, halving the bytes every step reads.
+
+    With ``quantize``, each layer's K/V is int8-quantized INSIDE the scan
+    body (the quantize_cross_kv semantics), so the full-precision tensor
+    never materializes across layers — at large-v3 batch 32 the bf16
+    intermediate alone is ~7 GB of HBM, enough to OOM a 16 GB chip.
+    Returns the (k_q, k_s, v_q, v_s) 4-tuple in that case.
     """
     n_head = cfg.n_text_head
+
+    def q8(x):
+        x32 = x.astype(jnp.float32)
+        s = jnp.max(jnp.abs(x32), axis=-2, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-8)
+        return (jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8), s)
 
     def layer_kv(_, blk):
         k = _split_heads(mm(xa, blk["xattn"]["k_w"]), n_head)
         v = _split_heads(mm(xa, blk["xattn"]["v_w"]) + blk["xattn"]["v_b"],
                          n_head)
-        return None, (jnp.swapaxes(k, -1, -2), jnp.swapaxes(v, -1, -2))
+        k, v = jnp.swapaxes(k, -1, -2), jnp.swapaxes(v, -1, -2)
+        if quantize:
+            (k_q, k_s), (v_q, v_s) = q8(k), q8(v)
+            return None, (k_q, k_s, v_q, v_s)
+        return None, (k, v)
 
-    _, (ks, vs) = jax.lax.scan(layer_kv, None, params["decoder"]["blocks"])
-    return ks, vs
+    _, out = jax.lax.scan(layer_kv, None, params["decoder"]["blocks"])
+    return out
 
 
 def quantize_cross_kv(cross_kv):
