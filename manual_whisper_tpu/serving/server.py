@@ -43,6 +43,39 @@ VALID_LANGUAGES = {"zh", "en", "zh+en"}  # reference: replicateClient.js:13
 _PERCENT_RE = re.compile(r"(\d+)%")
 
 
+class UploadTooLarge(Exception):
+    """Body exceeded MAX_UPLOAD_BYTES mid-stream (reference:
+    UPLOAD_TOO_LARGE, upload.js:103-131)."""
+
+
+def _truncate(text: str, limit: int) -> str:
+    text = str(text)
+    return text if len(text) <= limit else text[: limit - 1] + "…"
+
+
+def map_upload_error(status: Optional[int] = None, detail: str = "") -> tuple:
+    """Backend-error -> user-facing zh-CN message (reference:
+    mapUploadError, upload.js:138-168 — the Chinese-first error contract).
+
+    The reference's 401/402 rows name Replicate billing/token problems that
+    have no counterpart on a local TPU backend; they fall through to the
+    generic 4xx row here.  Returns (status, message)."""
+    status = int(status) if status else 0
+    if status == 413:
+        return 413, "传输文件过大（当前上限约 100MB）"
+    if status == 429:
+        return 429, "请求过于频繁，请稍后重试"
+    if 500 <= status < 600:
+        return status, "AI 处理服务暂时不可用，请稍后重试"
+    if 400 <= status < 600:
+        if detail:
+            return status, f"数据处理失败：{_truncate(detail, 140)}"
+        return status, "数据处理失败，请稍后重试"
+    if detail:
+        return 500, f"Upload failed: {_truncate(detail, 180)}"
+    return 500, "Upload failed"
+
+
 class AppState:
     def __init__(self, backend: InferenceBackend, upload_dir: Path,
                  web_dir: Optional[Path] = None):
@@ -96,9 +129,14 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _client_ip(self) -> str:
-        fwd = self.headers.get("x-forwarded-for")
-        if fwd:
-            return fwd.split(",")[0].strip()
+        # x-forwarded-for is client-supplied: honoring it unconditionally
+        # lets callers bypass rate limits / the active-job cap and
+        # impersonate job owners.  Trust it only when the operator has
+        # explicitly declared a trusted reverse proxy in front.
+        if config.get_bool("MWX_TRUST_PROXY", False):
+            fwd = self.headers.get("x-forwarded-for")
+            if fwd:
+                return fwd.split(",")[0].strip()
         return self.client_address[0] or "127.0.0.1"
 
     # -- auth (two header schemes, faithful to each endpoint) -----------------
@@ -147,6 +185,27 @@ class Handler(BaseHTTPRequestHandler):
         return self.handle_static(parsed.path)
 
     # -- upload (C4) -------------------------------------------------------------
+    def _read_body_capped(self, length: int) -> bytes:
+        """Stream the request body in chunks with a per-chunk cap check and
+        a socket read timeout (the reference streams chunks with a running
+        total, upload.js:100-136; a one-shot ``rfile.read`` lets a
+        slow-loris client pin a server thread indefinitely)."""
+        timeout = config.get_float("MWX_UPLOAD_READ_TIMEOUT_SEC", 30.0)
+        self.connection.settimeout(timeout)
+        chunks: list = []
+        total = 0
+        remaining = length
+        while remaining > 0:
+            chunk = self.rfile.read(min(65536, remaining))
+            if not chunk:
+                break
+            total += len(chunk)
+            if total > MAX_UPLOAD_BYTES:
+                raise UploadTooLarge()
+            chunks.append(chunk)
+            remaining -= len(chunk)
+        return b"".join(chunks)
+
     def handle_upload(self):
         err = self._check_upload_key()
         if err:
@@ -156,7 +215,14 @@ class Handler(BaseHTTPRequestHandler):
         if length > MAX_UPLOAD_BYTES:
             return self._json(413,
                               {"error": "Upload too large (max 100MB)"})
-        body = self.rfile.read(length) if length else b""
+        try:
+            body = self._read_body_capped(length) if length else b""
+        except UploadTooLarge:
+            return self._json(413,
+                              {"error": "Upload too large (max 100MB)"})
+        except (TimeoutError, OSError):
+            self.close_connection = True
+            return self._json(408, {"error": "Upload read timed out"})
         if not body:
             return self._json(400, {"error": "Empty upload body"})
 
@@ -166,8 +232,9 @@ class Handler(BaseHTTPRequestHandler):
         dest = self.state.upload_dir / f"{file_id}{suffix}"
         try:
             dest.write_bytes(body)
-        except OSError:
-            return self._json(500, {"error": "Upload failed"})
+        except OSError as exc:
+            status, message = map_upload_error(500, str(exc))
+            return self._json(status, {"error": message})
         self.state.uploads[file_id] = str(dest)
 
         host = self.headers.get("host", "127.0.0.1")
@@ -175,10 +242,16 @@ class Handler(BaseHTTPRequestHandler):
         return self._json(200, {"fileUrl": file_url})
 
     def _resolve_file_url(self, file_url: str) -> Optional[str]:
+        """Only URLs minted by the upload endpoint resolve.  ``file://``
+        paths would let any remote client probe and transcribe arbitrary
+        local files (the reference only accepts its own uploaded-file URLs,
+        transcribe.js:131); they are gated behind an explicit trusted-mode
+        flag for loopback CLI/test use."""
         m = re.search(r"/api/files/([0-9a-f]{32})", file_url or "")
         if m and m.group(1) in self.state.uploads:
             return self.state.uploads[m.group(1)]
-        if file_url and file_url.startswith("file://"):
+        if (file_url and file_url.startswith("file://")
+                and config.get_bool("MWX_ALLOW_LOCAL_FILE_URLS", False)):
             p = file_url[len("file://"):]
             return p if Path(p).exists() else None
         return None
@@ -214,8 +287,9 @@ class Handler(BaseHTTPRequestHandler):
 
         if not file_url:
             return self._json(400, {"error": "Missing fileUrl"})
+        allow_local = config.get_bool("MWX_ALLOW_LOCAL_FILE_URLS", False)
         if not str(file_url).startswith("http") \
-                and not str(file_url).startswith("file://"):
+                and not (allow_local and str(file_url).startswith("file://")):
             return self._json(400, {"error": "Invalid file URL"})
         audio_path = self._resolve_file_url(str(file_url))
         if audio_path is None:

@@ -163,20 +163,114 @@ def test_post_validation(server):
     assert status == 400 and out["error"] == "Unknown file URL"
 
 
-def test_get_validation_and_ownership(server, tmp_path):
+def test_get_validation_and_ownership(server, tmp_path, monkeypatch):
     srv, backend, base = server
     status, out = _req("GET", f"{base}/api/transcribe")
     assert status == 400 and out["error"] == "Missing id"
     status, out = _req("GET", f"{base}/api/transcribe?id=nonexistent")
     assert status == 404 and out["error"] == "Prediction not found"
 
-    # ownership: another IP cannot read the job
+    # ownership: another IP cannot read the job (proxy mode, spoofed XFF)
+    monkeypatch.setenv("MWX_TRUST_PROXY", "true")
     file_url = _upload_wav(base, tmp_path)
     _, created = _req("POST", f"{base}/api/transcribe",
                       data=json.dumps({"fileUrl": file_url}).encode())
     status, out = _req("GET", f"{base}/api/transcribe?id={created['id']}",
                        headers={"x-forwarded-for": "10.9.9.9"})
     assert status == 404 and out["error"] == "Prediction not found"
+
+
+def test_forwarded_for_ignored_without_trusted_proxy(server, tmp_path):
+    """x-forwarded-for is attacker-controlled: without MWX_TRUST_PROXY the
+    server must key rate limits and ownership on the socket address, so a
+    spoofed header neither hides a job from its owner nor resets limits."""
+    srv, backend, base = server
+    file_url = _upload_wav(base, tmp_path)
+    _, created = _req("POST", f"{base}/api/transcribe",
+                      data=json.dumps({"fileUrl": file_url}).encode())
+    # spoofed XFF: still the same (real) client -> job remains visible
+    status, out = _req("GET", f"{base}/api/transcribe?id={created['id']}",
+                       headers={"x-forwarded-for": "10.9.9.9"})
+    assert status == 200 and out["status"] in ("starting", "processing",
+                                               "succeeded")
+    _poll_until_done(base, created["id"])
+
+
+def test_file_urls_rejected_by_default(server, tmp_path, monkeypatch):
+    """file:// URLs let remote clients read arbitrary local audio; they are
+    rejected unless MWX_ALLOW_LOCAL_FILE_URLS is explicitly enabled."""
+    srv, backend, base = server
+    wav = tmp_path / "local.wav"
+    write_wav(wav, np.zeros(1600, np.float32))
+
+    status, out = _req("POST", f"{base}/api/transcribe",
+                       data=json.dumps({"fileUrl": f"file://{wav}"}).encode())
+    assert status == 400 and out["error"] == "Invalid file URL"
+
+    monkeypatch.setenv("MWX_ALLOW_LOCAL_FILE_URLS", "true")
+    status, created = _req(
+        "POST", f"{base}/api/transcribe",
+        data=json.dumps({"fileUrl": f"file://{wav}"}).encode())
+    assert status == 201
+    out = _poll_until_done(base, created["id"])
+    assert out["status"] == "succeeded"
+
+
+def test_upload_slow_client_times_out(server, monkeypatch):
+    """A client that stalls mid-body must not pin a server thread
+    (reference streams with a cap per chunk, upload.js:100-136)."""
+    import socket as socketlib
+    srv, backend, base = server
+    monkeypatch.setenv("MWX_UPLOAD_READ_TIMEOUT_SEC", "0.4")
+    host, port = srv.server_address
+    t0 = time.time()
+    with socketlib.create_connection((host, port), timeout=5) as sock:
+        sock.sendall(b"POST /api/upload HTTP/1.1\r\n"
+                     b"Host: x\r\nContent-Length: 1000000\r\n\r\n")
+        sock.sendall(b"x" * 10)  # then stall
+        sock.settimeout(5)
+        data = sock.recv(65536)
+    assert b"408" in data.split(b"\r\n", 1)[0]
+    assert time.time() - t0 < 4.0
+
+
+def test_upload_content_length_cap(server):
+    """Declared length beyond the cap is rejected before any body read,
+    with the reference's English cap message (upload.js:48)."""
+    import socket as socketlib
+    srv, backend, base = server
+    host, port = srv.server_address
+    with socketlib.create_connection((host, port), timeout=5) as sock:
+        sock.sendall(b"POST /api/upload HTTP/1.1\r\nHost: x\r\n"
+                     b"Content-Length: 209715200\r\n\r\n")
+        sock.settimeout(5)
+        data = b""
+        while b"Upload too large" not in data:
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+    assert b"413" in data.split(b"\r\n", 1)[0]
+    assert b"Upload too large (max 100MB)" in data
+
+
+def test_map_upload_error_table():
+    """zh-CN backend-error contract (reference: mapUploadError,
+    upload.js:138-168)."""
+    from manual_whisper_tpu.serving.server import map_upload_error
+    assert map_upload_error(413) == (413, "传输文件过大（当前上限约 100MB）")
+    assert map_upload_error(429) == (429, "请求过于频繁，请稍后重试")
+    assert map_upload_error(500) == (500, "AI 处理服务暂时不可用，请稍后重试")
+    assert map_upload_error(503, "boom") == (
+        503, "AI 处理服务暂时不可用，请稍后重试")
+    assert map_upload_error(422, "bad payload") == (
+        422, "数据处理失败：bad payload")
+    assert map_upload_error(422) == (422, "数据处理失败，请稍后重试")
+    assert map_upload_error(None, "x" * 300)[1].startswith("Upload failed: ")
+    assert map_upload_error() == (500, "Upload failed")
+    # truncation: 140-char cap with ellipsis for 4xx detail
+    long = map_upload_error(422, "y" * 200)[1]
+    assert long.endswith("…") and len(long) <= len("数据处理失败：") + 140
 
 
 def test_active_job_cap(server, tmp_path, monkeypatch):
