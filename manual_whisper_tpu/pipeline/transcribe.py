@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import threading
 import time
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence, Union
@@ -34,6 +35,10 @@ from .chunking import (CHUNK_LENGTH_SEC, N_SAMPLES, SpeechChunk,
                        batch_chunks, merge_chunks)
 
 ProgressFn = Callable[[float, str], None]
+
+# "argument not given" sentinel for per-call overrides (None is meaningful:
+# it disables the initial prompt)
+_UNSET = object()
 
 
 def _on_tpu() -> bool:
@@ -78,29 +83,39 @@ class TranscribePipeline:
         self.language = language
         self.asr_options = asr_options or {}
         self._decoders: Dict[tuple, BatchDecoder] = {}
+        # serializes decoder construction: concurrent callers (job worker +
+        # second-pass thread) would otherwise race to compile the same
+        # program on the single chip
+        self._decoder_lock = threading.Lock()
         # model window: 2 encoder frames per mel frame, 160 samples per mel
         # frame (30 s for real checkpoints; smaller for the test config)
         self.window_samples = cfg.n_audio_ctx * 2 * 160
         self.window_sec = self.window_samples / 16000.0
 
     # -- helpers ------------------------------------------------------------
-    def _decoder(self, language: str, temperature) -> BatchDecoder:
+    def _decoder(self, language: str, temperature,
+                 initial_prompt=_UNSET) -> BatchDecoder:
         temps = (tuple(temperature) if isinstance(temperature, (list, tuple))
                  else ((0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if temperature == 0
                        else (float(temperature),)))
-        key = (language, temps, self.asr_options.get("initial_prompt"))
-        if key not in self._decoders:
-            opts = DecodingOptions(
-                language=language,
-                temperatures=temps,
-                initial_prompt=self.asr_options.get("initial_prompt"),
-                max_new_tokens=self.asr_options.get("max_new_tokens", 224),
-                beam_size=self.asr_options.get("beam_size", 1),
-                int8_cross_kv=self.asr_options.get("int8_cross_kv", False),
-            )
-            self._decoders[key] = BatchDecoder(
-                self.params, self.cfg, self.tokenizer, opts)
-        return self._decoders[key]
+        if initial_prompt is _UNSET:
+            initial_prompt = self.asr_options.get("initial_prompt")
+        key = (language, temps, initial_prompt)
+        with self._decoder_lock:
+            if key not in self._decoders:
+                opts = DecodingOptions(
+                    language=language,
+                    temperatures=temps,
+                    initial_prompt=initial_prompt,
+                    max_new_tokens=self.asr_options.get("max_new_tokens",
+                                                        224),
+                    beam_size=self.asr_options.get("beam_size", 1),
+                    int8_cross_kv=self.asr_options.get("int8_cross_kv",
+                                                       False),
+                )
+                self._decoders[key] = BatchDecoder(
+                    self.params, self.cfg, self.tokenizer, opts)
+            return self._decoders[key]
 
     def _features(self, windows: np.ndarray) -> jnp.ndarray:
         """[B, window] -> [B, n_mels, frames]; fused Pallas kernel on TPU,
@@ -183,10 +198,17 @@ class TranscribePipeline:
                    chunk_size: Optional[float] = None,
                    temperature=0.0,
                    progress_callback: Optional[ProgressFn] = None,
-                   verbose: bool = False) -> dict:
+                   verbose: bool = False,
+                   vad_options: Optional[VadOptions] = None,
+                   initial_prompt=_UNSET) -> dict:
         """Full pipeline; returns {"segments": [...], "language": lang}
         with the segment dict shape the reference consumes
-        ({text, start, end}, transcribe.py:162-181)."""
+        ({text, start, end}, transcribe.py:162-181).
+
+        ``vad_options`` / ``initial_prompt`` are per-call overrides (the
+        second pass runs with stricter VAD and no prompt on a concurrent
+        thread — overrides keep that thread from mutating shared pipeline
+        state under the main job worker)."""
         if isinstance(audio, (str, Path)):
             audio = load_audio(audio)
         audio = np.asarray(audio, np.float32)
@@ -203,10 +225,11 @@ class TranscribePipeline:
         with trace_cm:
             return self._transcribe_impl(
                 audio, batch_size, language, chunk_size, temperature,
-                progress_callback, verbose)
+                progress_callback, verbose, vad_options, initial_prompt)
 
     def _transcribe_impl(self, audio, batch_size, language, chunk_size,
-                         temperature, progress_callback, verbose) -> dict:
+                         temperature, progress_callback, verbose,
+                         vad_options=None, initial_prompt=_UNSET) -> dict:
 
         def report(pct, msg):
             if progress_callback:
@@ -217,7 +240,7 @@ class TranscribePipeline:
         chunk_size = min(chunk_size or self.window_sec, self.window_sec)
 
         report(0.0, "voice activity detection")
-        regions = self.vad(audio, self.vad_options)
+        regions = self.vad(audio, vad_options or self.vad_options)
         chunks = merge_chunks(regions, chunk_size)
         if not chunks:
             report(100.0, "no speech detected")
@@ -229,7 +252,7 @@ class TranscribePipeline:
             lang = self.detect_language(audio)
             report(5.0, f"detected language: {lang}")
 
-        decoder = self._decoder(lang, temperature)
+        decoder = self._decoder(lang, temperature, initial_prompt)
         batches = batch_chunks(audio, chunks, batch_size,
                                window_samples=self.window_samples)
         segments: List[dict] = []

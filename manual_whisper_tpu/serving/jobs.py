@@ -256,8 +256,16 @@ class PipelineBackend:
         self.batch_size = batch_size or config.get_int("BATCH_SIZE", 16)
         asr_options = {"beam_size": config.get_int("BEAM_SIZE", 1)}
         if config.get_bool("USE_INITIAL_PROMPT", False):
-            asr_options["initial_prompt"] = config.get_env(
-                "INITIAL_PROMPT", INITIAL_PROMPT)
+            prompt = config.get_env("INITIAL_PROMPT")
+            if not prompt:
+                # DOMAIN_TERMS rebuilds the prompt the way the reference
+                # CLI does (transcribe.py:39-40: 术语参考 + 顿号-joined terms)
+                terms = config.get_env("DOMAIN_TERMS")
+                prompt = ("中文会议讨论记录，保持原意与术语准确。术语参考："
+                          + "、".join(t.strip() for t in terms.split(",")
+                                      if t.strip()) + "。"
+                          ) if terms else INITIAL_PROMPT
+            asr_options["initial_prompt"] = prompt
         self.model = load_model(
             self.model_name,
             language=None,
@@ -315,19 +323,39 @@ class PipelineBackend:
         return result
 
     def transcribe_clip(self, clip, language: str, vad_onset: float,
-                        vad_offset: float, temperature: float = 0.0) -> dict:
-        """Second-pass hook: re-run a short clip with stricter VAD and no
-        prompt (serving/second_pass.py consumes this)."""
+                        vad_offset: float, temperature: float = 0.0,
+                        batch_size: Optional[int] = None,
+                        diarization: bool = False,
+                        use_initial_prompt: bool = False) -> dict:
+        """Second-pass hook (serving/second_pass.py): re-run a short clip
+        with stricter VAD, optionally diarizing the recovered segments.
+
+        VAD and prompt overrides flow through ``model.transcribe`` call
+        arguments — the second pass runs on a daemon thread concurrently
+        with the main job worker, so mutating shared pipeline state here
+        would leak these settings into main-pass jobs."""
         from ..models.vad import VadOptions
+        from ..text.cleaning import INITIAL_PROMPT
         lang = None if language in ("", "auto") else language
         if lang == "zh+en":
             lang = "zh"
-        saved = self.model.vad_options
-        self.model.vad_options = VadOptions(vad_onset=vad_onset,
-                                            vad_offset=vad_offset)
-        try:
-            return self.model.transcribe(
-                clip, batch_size=self.batch_size, language=lang,
-                temperature=(float(temperature),))
-        finally:
-            self.model.vad_options = saved
+        prompt = None
+        if use_initial_prompt:
+            prompt = self.model.asr_options.get("initial_prompt") or \
+                config.get_env("INITIAL_PROMPT", INITIAL_PROMPT)
+        result = self.model.transcribe(
+            clip, batch_size=batch_size or self.batch_size, language=lang,
+            temperature=(float(temperature),),
+            vad_options=VadOptions(vad_onset=vad_onset,
+                                   vad_offset=vad_offset),
+            initial_prompt=prompt)
+        if diarization:
+            try:
+                from ..models.diarize import (DiarizationPipeline,
+                                              assign_word_speakers)
+                diarizer = DiarizationPipeline(
+                    use_auth_token=config.get_env("HF_TOKEN"))
+                result = assign_word_speakers(diarizer(clip), result)
+            except Exception:
+                pass  # recovered segments keep no speaker labels
+        return result

@@ -31,14 +31,17 @@ ClipTranscriber = Callable[..., dict]
 
 @dataclasses.dataclass(frozen=True)
 class SecondPassOptions:
-    """Knobs and defaults from web/.env.example:38-47."""
+    """Knobs and defaults from the reference's web/.env.example:38-47."""
     enabled: bool = True
     max_ranges: int = 4
     min_range_sec: float = 1.5
     range_pad_sec: float = 1.2
+    batch_size: int = 16
     temperature: float = 0.0
     vad_onset: float = 0.60
     vad_offset: float = 0.42
+    diarization: bool = False
+    use_initial_prompt: bool = False
 
     @classmethod
     def from_env(cls) -> "SecondPassOptions":
@@ -47,9 +50,13 @@ class SecondPassOptions:
             max_ranges=config.get_int("SECOND_PASS_MAX_RANGES", 4),
             min_range_sec=config.get_float("SECOND_PASS_MIN_RANGE_SEC", 1.5),
             range_pad_sec=config.get_float("SECOND_PASS_RANGE_PAD_SEC", 1.2),
+            batch_size=config.get_int("SECOND_PASS_BATCH_SIZE", 16),
             temperature=config.get_float("SECOND_PASS_TEMPERATURE", 0.0),
             vad_onset=config.get_float("SECOND_PASS_VAD_ONSET", 0.60),
             vad_offset=config.get_float("SECOND_PASS_VAD_OFFSET", 0.42),
+            diarization=config.get_bool("SECOND_PASS_DIARIZATION", False),
+            use_initial_prompt=config.get_bool(
+                "SECOND_PASS_USE_INITIAL_PROMPT", False),
         )
 
 
@@ -83,6 +90,22 @@ def run_second_pass(audio: np.ndarray, language: str,
     if not opts.enabled or not ranges:
         return {"segments": primary_segments, "second_pass": info}
 
+    # forward the optional knobs only when the transcriber accepts them
+    # (mock transcribers in tests keep the minimal 5-arg signature)
+    import inspect
+    try:
+        accepted = set(inspect.signature(transcribe_clip).parameters)
+        takes_kwargs = any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in inspect.signature(transcribe_clip).parameters.values())
+    except (TypeError, ValueError):
+        accepted, takes_kwargs = set(), False
+    extra = {"batch_size": opts.batch_size,
+             "diarization": opts.diarization,
+             "use_initial_prompt": opts.use_initial_prompt}
+    if not takes_kwargs:
+        extra = {k: v for k, v in extra.items() if k in accepted}
+
     duration = len(audio) / SAMPLE_RATE
     recovered_all: List[dict] = []
     for r in ranges:
@@ -94,7 +117,7 @@ def run_second_pass(audio: np.ndarray, language: str,
             result = transcribe_clip(
                 clip, language=language,
                 vad_onset=opts.vad_onset, vad_offset=opts.vad_offset,
-                temperature=opts.temperature)
+                temperature=opts.temperature, **extra)
             cleaned = post_process_segments(
                 result.get("segments", []), post_opts)
             for seg in cleaned["segments"]:

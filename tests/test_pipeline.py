@@ -105,6 +105,25 @@ def test_warmup_precompiles_and_matches_runtime(tiny_pipeline):
     assert "segments" in result
 
 
+def test_transcribe_per_call_overrides_do_not_mutate_state(tiny_pipeline):
+    """Second-pass style calls pass stricter VAD + no prompt as arguments;
+    shared pipeline state must stay untouched (a daemon thread runs these
+    concurrently with main-pass jobs)."""
+    from manual_whisper_tpu.models.vad import VadOptions
+    saved_opts = tiny_pipeline.vad_options
+    saved_asr = dict(tiny_pipeline.asr_options)
+    result = tiny_pipeline.transcribe(
+        _speech_audio(), batch_size=2, language="zh",
+        vad_options=VadOptions(vad_onset=0.60, vad_offset=0.42),
+        initial_prompt=None, temperature=(0.0,))
+    assert "segments" in result
+    assert tiny_pipeline.vad_options is saved_opts
+    assert tiny_pipeline.asr_options == saved_asr
+    # the override decoder is cached under its own key, not the default's
+    keys = list(tiny_pipeline._decoders)
+    assert any(k[2] is None for k in keys)
+
+
 def test_transcribe_silence_returns_empty(tiny_pipeline):
     result = tiny_pipeline.transcribe(
         np.zeros(SR * 2, np.float32), batch_size=2, language="zh")

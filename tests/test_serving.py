@@ -366,6 +366,41 @@ def test_run_second_pass_recovers_and_merges():
     assert out["second_pass"]["recovered_segments"] == 1
 
 
+def test_second_pass_options_from_env(monkeypatch):
+    """All SECOND_PASS_* knobs of web/.env.example:38-47 are consumed."""
+    monkeypatch.setenv("SECOND_PASS_BATCH_SIZE", "8")
+    monkeypatch.setenv("SECOND_PASS_DIARIZATION", "true")
+    monkeypatch.setenv("SECOND_PASS_USE_INITIAL_PROMPT", "yes")
+    monkeypatch.setenv("SECOND_PASS_MAX_RANGES", "2")
+    opts = SecondPassOptions.from_env()
+    assert opts.batch_size == 8
+    assert opts.diarization is True
+    assert opts.use_initial_prompt is True
+    assert opts.max_ranges == 2
+
+
+def test_second_pass_forwards_knobs_to_capable_transcriber():
+    """batch_size/diarization/use_initial_prompt reach the transcriber when
+    its signature accepts them (PipelineBackend.transcribe_clip does)."""
+    audio = np.zeros(16000 * 30, np.float32)
+    report = {"suspicious_ranges": [
+        {"start": 5.0, "end": 15.0, "duration": 10.0}]}
+    seen = {}
+
+    def clip_transcriber(clip, language, vad_onset, vad_offset, temperature,
+                         batch_size=None, diarization=False,
+                         use_initial_prompt=False):
+        seen.update(batch_size=batch_size, diarization=diarization,
+                    use_initial_prompt=use_initial_prompt)
+        return {"segments": []}
+
+    run_second_pass(audio, "zh", [], report, clip_transcriber,
+                    SecondPassOptions(batch_size=4, diarization=True,
+                                      use_initial_prompt=True))
+    assert seen == {"batch_size": 4, "diarization": True,
+                    "use_initial_prompt": True}
+
+
 def test_merge_recovered_drops_heavy_overlap():
     primary = [{"text": "a", "start": 0.0, "end": 10.0}]
     recovered = [{"text": "dup", "start": 1.0, "end": 9.0},
