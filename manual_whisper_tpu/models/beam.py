@@ -76,8 +76,12 @@ def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos, oh):
 
     x_in = _layer_norm(h, blk["lnx"])
     xq = heads(mm(x_in, blk["xattn"]["q_w"]) + blk["xattn"]["q_b"])
-    xscores = jnp.einsum("bkhd,bhdt->bkht", xq, x_k,
-                         preferred_element_type=jnp.float32) * dh ** -0.5
+    # batch dims (b, h) lead: the bkhd,bhdt form lowers to a dot shape the
+    # XLA CPU thunk can't run in bf16 (TPU is fine either way); the
+    # transpose fuses into the consumer
+    xscores = jnp.einsum("bhkd,bhdt->bhkt", jnp.swapaxes(xq, 1, 2), x_k,
+                         preferred_element_type=jnp.float32)
+    xscores = jnp.swapaxes(xscores, 1, 2) * dh ** -0.5
     xprobs = jax.nn.softmax(xscores, axis=-1).astype(xq.dtype)
     xattn = jnp.einsum("bkht,bhdt->bkhd", xprobs, x_v).reshape(b, k, d)
     h = h + (mm(xattn, blk["xattn"]["o_w"]) + blk["xattn"]["o_b"])
@@ -142,7 +146,8 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
     cache = init_kv_cache(cfg, b, max_len=p + max_new)
     prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
     prefill_logits, cache = decoder_forward(
-        params, prefix_b, xa, cfg, pos_offset=0, kv_cache=cache)
+        params, prefix_b, None, cfg, pos_offset=0, kv_cache=cache,
+        cross_kv=cross_kv)
 
     # [L, B, H, dh, T] -> [L, B, K, H, dh, T] (beams start identical)
     def tile(c):

@@ -109,8 +109,12 @@ def greedy_decode_jit(params: Params, xa: jnp.ndarray,
     cache = init_kv_cache(cfg, b, max_len=p + max_new)
 
     prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
+    # reuse the (possibly int8) cross-KV computed above: re-projecting it
+    # bf16 inside the prefill would materialize the very tensor the fused
+    # quantization exists to avoid (and double the projection FLOPs)
     prefill_logits, cache = decoder_forward(
-        params, prefix_b, xa, cfg, pos_offset=0, kv_cache=cache)
+        params, prefix_b, None, cfg, pos_offset=0, kv_cache=cache,
+        cross_kv=cross_kv)
 
     first_logits = prefill_logits[:, -1, :] + suppress_mask + blank_mask
 
@@ -257,8 +261,9 @@ class BatchDecoder:
         for i in range(b):
             toks = [int(t) for t in tokens[i] if t != tk.special.eot]
             text = tk.decode(toks).strip()
-            # +1 for the EOT step, matching OpenAI's avg over len+1
-            avg_lp = float(sum_lp[i] / max(int(lengths[i]) + 1, 1))
+            # lengths already counts the EOT-emitting step, so it equals
+            # OpenAI's len(tokens) + 1 denominator as-is
+            avg_lp = float(sum_lp[i] / max(int(lengths[i]), 1))
             results.append(SegmentResult(
                 tokens=toks, text=text, avg_logprob=avg_lp,
                 no_speech_prob=float(no_speech[i]),

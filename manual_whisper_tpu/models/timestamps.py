@@ -53,7 +53,8 @@ def greedy_timestamps_jit(params: Params, xa: jnp.ndarray,
     cache = init_kv_cache(cfg, b, max_len=p + max_new)
     prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
     prefill_logits, cache = decoder_forward(
-        params, prefix_b, xa, cfg, pos_offset=0, kv_cache=cache)
+        params, prefix_b, None, cfg, pos_offset=0, kv_cache=cache,
+        cross_kv=cross_kv)
 
     token_ids = jnp.arange(vocab)
     is_ts = (token_ids >= ts_begin)

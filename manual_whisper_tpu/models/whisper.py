@@ -404,6 +404,7 @@ def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, xkv):
 def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
                     cfg: WhisperConfig, pos_offset: int = 0,
                     kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                    cross_kv=None,
                     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Teacher-forced / prefill decoder pass.
 
@@ -411,6 +412,13 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
     [L, B, H, dh, max_len], transposed), writes K/V at positions
     [pos_offset, pos_offset+T) and attends over the full prefix; returns the
     updated cache for the decode loop to continue from.
+
+    ``cross_kv`` takes an already-computed cross K/V — either the bf16
+    (k, v) pair or the int8 4-tuple from ``precompute_cross_kv`` — so
+    decode-loop prefills reuse the quantized tensors instead of
+    re-projecting a full-precision copy inside the same program (at
+    large-v3 batch 32 that bf16 intermediate alone is ~7 GB of HBM).
+    ``xa`` may be None when ``cross_kv`` is supplied.
     """
     dec = params["decoder"]
     n_head = cfg.n_text_head
@@ -419,7 +427,8 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
     pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, t, axis=0)
     x = (dec["tok_emb"][tokens] + pos).astype(cfg.dtype)
 
-    x_k, x_v = precompute_cross_kv(params, xa, cfg)
+    xkv_stacked = (precompute_cross_kv(params, xa, cfg)
+                   if cross_kv is None else cross_kv)
 
     if kv_cache is None:
         cache_k, cache_v = init_kv_cache(cfg, b, max_len=t)
@@ -451,7 +460,7 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
         return h, (ck, cv)
 
     x, (new_ck, new_cv) = jax.lax.scan(
-        block_fn, x, (dec["blocks"], cache_k, cache_v, (x_k, x_v)))
+        block_fn, x, (dec["blocks"], cache_k, cache_v, xkv_stacked))
 
     x = _layer_norm(x, dec["ln"])
     logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),

@@ -140,3 +140,26 @@ def test_beam_size_one_equals_greedy_tokens(setup):
     greedy = _decoder(params, cfg, tk, beam_size=1).decode(xa)
     # beam_size=1 routes through the greedy kernel (temperature 0)
     assert all(r.temperature == 0.0 for r in greedy)
+
+
+def test_beam_runs_in_bf16():
+    """load_model defaults to bf16 even for the test config; the beam
+    kernel must run under that dtype on every backend (a bkhd,bhdt cross
+    einsum once lowered to a dot shape the XLA CPU thunk rejects)."""
+    import jax
+    import numpy as np
+    from manual_whisper_tpu.models import MODEL_CONFIGS, encode, init_params
+    from manual_whisper_tpu.models.decode import BatchDecoder, DecodingOptions
+    from manual_whisper_tpu.tokenizer import make_test_tokenizer
+    import jax.numpy as jnp
+
+    cfg = MODEL_CONFIGS["test"].with_dtype(jnp.bfloat16)
+    tk = make_test_tokenizer()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    xa = encode(params, np.zeros((2, cfg.n_mels, 2 * cfg.n_audio_ctx),
+                                 np.float32), cfg)
+    dec = BatchDecoder(params, cfg, tk,
+                       DecodingOptions(language="zh", temperatures=(0.0,),
+                                       max_new_tokens=6, beam_size=3))
+    results = dec.decode(xa)
+    assert len(results) == 2

@@ -145,3 +145,57 @@ def test_no_speech_gate():
     speech = SegmentResult([1], "好", -0.2, 0.9, 1.0, 0.0)
     assert BatchDecoder.is_no_speech(dec, silent)
     assert not BatchDecoder.is_no_speech(dec, speech)
+
+
+def test_decoder_forward_accepts_precomputed_cross_kv(setup):
+    """Prefill must be able to reuse a precomputed cross-KV (bf16 pair or
+    int8 4-tuple) instead of re-projecting it in full precision inside the
+    same program — the int8 path's OOM-avoidance depends on this."""
+    from manual_whisper_tpu.models import decoder_forward
+    from manual_whisper_tpu.models.whisper import precompute_cross_kv
+    params, cfg, tk, xa = setup
+    tokens = jnp.asarray([[tk.special.sot]] * int(xa.shape[0]), jnp.int32)
+
+    ref_logits, _ = decoder_forward(params, tokens, xa, cfg)
+
+    kv = precompute_cross_kv(params, xa, cfg)
+    got, _ = decoder_forward(params, tokens, None, cfg, cross_kv=kv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_logits),
+                               rtol=0, atol=1e-5)
+
+    kv8 = precompute_cross_kv(params, xa, cfg, quantize=True)
+    got8, _ = decoder_forward(params, tokens, None, cfg, cross_kv=kv8)
+    # int8 K/V rounding only: logits stay close to full precision
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(ref_logits),
+                               rtol=0, atol=0.15)
+
+
+def test_int8_cross_kv_decode_matches_bf16(setup):
+    """End-to-end greedy decode with the fused int8 cross-KV produces the
+    same tokens as the full-precision path on the tiny model."""
+    params, cfg, tk, xa = setup
+    ref = _decoder(params, cfg, tk).decode(xa)
+    q = _decoder(params, cfg, tk, int8_cross_kv=True).decode(xa)
+    assert [r.tokens for r in q] == [r.tokens for r in ref]
+
+
+def test_avg_logprob_denominator_is_len_plus_one(setup):
+    """OpenAI/faster-whisper semantics: avg_logprob = sum over emitted
+    steps (EOT step included) / (len(tokens) + 1).  The loop's `lengths`
+    already counts the EOT-emitting step, so the denominator must be
+    `lengths`, not `lengths + 1`."""
+    from manual_whisper_tpu.models.decode import greedy_decode_jit
+    params, cfg, tk, xa = setup
+    dec = _decoder(params, cfg, tk)
+    prefix, sot_index = dec._prefix()
+    out = greedy_decode_jit(
+        params, xa, jnp.asarray(prefix), dec._suppress, dec._blank,
+        jnp.float32(0.0), jax.random.PRNGKey(0), tk.special.eot, cfg, 8,
+        sot_index=sot_index, no_speech_token=tk.special.no_speech)
+    tokens, sum_lp, lengths, _ = jax.device_get(out)
+    results = dec.decode(xa)
+    for i, r in enumerate(results):
+        n_tokens = len([t for t in tokens[i] if t != tk.special.eot])
+        assert int(lengths[i]) == n_tokens + 1 or int(lengths[i]) == 8
+        expect = float(sum_lp[i]) / max(int(lengths[i]), 1)
+        assert r.avg_logprob == pytest.approx(expect)
