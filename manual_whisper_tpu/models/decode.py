@@ -187,19 +187,35 @@ class SegmentResult:
 
 
 class BatchDecoder:
-    """Host-side driver: prompt building, jitted decode, fallback ladder."""
+    """Host-side driver: prompt building, jitted decode, fallback ladder.
+
+    With ``mesh`` set (data-parallel inference, SURVEY.md §2.3), every
+    small operand is placed replicated on the mesh so the jitted decode
+    partitions its batch axis over the ``data`` axis alongside the
+    sharded params/xa instead of erroring on mixed device sets."""
 
     def __init__(self, params: Params, cfg: WhisperConfig,
-                 tokenizer: WhisperTokenizer, opts: DecodingOptions):
+                 tokenizer: WhisperTokenizer, opts: DecodingOptions,
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.opts = opts
-        self._suppress = jnp.asarray(
-            build_suppress_mask(tokenizer, cfg, opts))
-        self._blank = (jnp.asarray(build_blank_mask(tokenizer, cfg))
-                       if opts.suppress_blank
-                       else jnp.zeros(cfg.n_vocab, jnp.float32))
+        self.mesh = mesh
+        self._suppress = self._replicate(jnp.asarray(
+            build_suppress_mask(tokenizer, cfg, opts)))
+        self._blank = self._replicate(
+            jnp.asarray(build_blank_mask(tokenizer, cfg))
+            if opts.suppress_blank
+            else jnp.zeros(cfg.n_vocab, jnp.float32))
+
+    def _replicate(self, x):
+        """Replicate a small array over the mesh (no-op without one)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.device_put(x, NamedSharding(self.mesh,
+                                               PartitionSpec()))
 
     def _prefix(self) -> Tuple[np.ndarray, int]:
         """(prefix tokens, index of SOT within the prefix)."""
@@ -234,16 +250,18 @@ class BatchDecoder:
         if self.opts.beam_size > 1 and temperature == 0.0:
             from .beam import beam_decode_jit
             out = beam_decode_jit(
-                self.params, xa, jnp.asarray(prefix), self._suppress,
+                self.params, xa, self._replicate(jnp.asarray(prefix)),
+                self._suppress,
                 self._blank, tk.special.eot, self.cfg, max_new,
                 self.opts.beam_size, self.opts.length_penalty,
                 sot_index=sot_index,
                 no_speech_token=tk.special.no_speech)
         else:
             out = greedy_decode_jit(
-                self.params, xa, jnp.asarray(prefix), self._suppress,
-                self._blank, jnp.float32(temperature),
-                jax.random.PRNGKey(self.opts.seed),
+                self.params, xa, self._replicate(jnp.asarray(prefix)),
+                self._suppress,
+                self._blank, self._replicate(jnp.float32(temperature)),
+                self._replicate(jax.random.PRNGKey(self.opts.seed)),
                 tk.special.eot, self.cfg, max_new,
                 sot_index=sot_index,
                 no_speech_token=tk.special.no_speech,
@@ -293,7 +311,8 @@ class BatchDecoder:
         max_new = min(self.opts.max_new_tokens,
                       self.cfg.n_text_ctx - len(prefix) - 1)
         return greedy_timestamps_jit(
-            self.params, xa, jnp.asarray(prefix), suppress,
+            self.params, xa, self._replicate(jnp.asarray(prefix)),
+            self._replicate(suppress),
             tk.special.eot, tk.special.timestamp_begin, self.cfg, max_new)
 
     def timestamps_finalize(self, out, chunk_starts: Sequence[float],

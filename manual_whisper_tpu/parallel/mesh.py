@@ -101,13 +101,28 @@ def param_sharding_rules(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def sharding_pytree(params, mesh: Mesh):
-    """NamedSharding pytree matching ``params`` (PartitionSpec is a tuple,
-    so rules are flattened *up to* the params structure)."""
+    """NamedSharding pytree matching ``params``.
+
+    Handles int8-quantized weights (ops/quant.py layout
+    ``{"q": [..., K, N], "s": [..., N]}``): the int8 tensor inherits the
+    weight's spec and the per-output-channel scale drops the contraction
+    axis, so TP sharding works identically for bf16 and int8 checkpoints.
+    """
+    from ..ops.quant import is_quantized
     rules = param_sharding_rules(params)
-    flat, treedef = jax.tree.flatten(params)
-    flat_rules = treedef.flatten_up_to(rules)
-    return jax.tree.unflatten(
-        treedef, [NamedSharding(mesh, spec) for spec in flat_rules])
+
+    def resolve(p, rule):
+        if isinstance(p, dict):
+            if is_quantized(p):
+                axes = list(rule)
+                s_spec = P(*(axes[:-2] + axes[-1:])) if len(axes) >= 2 \
+                    else rule
+                return {"q": NamedSharding(mesh, rule),
+                        "s": NamedSharding(mesh, s_spec)}
+            return {k: resolve(v, rule[k]) for k, v in p.items()}
+        return NamedSharding(mesh, rule)
+
+    return resolve(params, rules)
 
 
 def shard_params(params, mesh: Mesh):

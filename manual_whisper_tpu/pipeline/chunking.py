@@ -78,31 +78,39 @@ def pad_audio_window(audio: np.ndarray, start: float, end: float,
     return out
 
 
-def _bucket_for(n: int, batch_size: int) -> int:
+def _bucket_for(n: int, batch_size: int, divisor: int = 1) -> int:
     """Smallest bucket >= n from {bs, bs/2, bs/4, bs/8} (power-of-two
     ladder).  Full batches compile once; a small trailing batch uses a
     smaller program instead of padding all the way up (a 1-chunk tail in a
-    batch-16 program would waste 15/16 of its decode FLOPs)."""
+    batch-16 program would waste 15/16 of its decode FLOPs).
+
+    ``divisor`` rounds every bucket up to a multiple (the data-parallel
+    mesh size: GSPMD requires the batch axis to divide evenly across the
+    ``data`` axis)."""
     buckets = sorted({max(1, batch_size >> k) for k in range(4)})
+    if divisor > 1:
+        buckets = sorted({-(-b // divisor) * divisor for b in buckets})
     for b in buckets:
         if n <= b:
             return b
-    return batch_size
+    return buckets[-1]
 
 
 def batch_chunks(audio: np.ndarray, chunks: Sequence[SpeechChunk],
                  batch_size: int, window_samples: int = N_SAMPLES,
+                 divisor: int = 1,
                  ) -> List[Tuple[np.ndarray, List[SpeechChunk]]]:
     """Group chunks into bucketed batches of padded windows.
 
     Every batch shape comes from a small static ladder so XLA compiles a
     handful of programs total; padding rows are dropped by the caller
-    (len(chunk_list) < rows marks them).
+    (len(chunk_list) < rows marks them).  ``divisor`` keeps every batch
+    shape divisible by the data-parallel mesh size.
     """
     batches = []
     for i in range(0, len(chunks), batch_size):
         group = list(chunks[i:i + batch_size])
-        rows = _bucket_for(len(group), batch_size)
+        rows = _bucket_for(len(group), batch_size, divisor)
         arr = np.zeros((rows, window_samples), np.float32)
         for j, ch in enumerate(group):
             arr[j] = pad_audio_window(audio, ch.start, ch.end,

@@ -74,7 +74,21 @@ class TranscribePipeline:
                  vad: Optional[VoiceActivityDetector] = None,
                  asr_options: Optional[dict] = None,
                  vad_options: Optional[VadOptions] = None,
-                 language: Optional[str] = None):
+                 language: Optional[str] = None,
+                 mesh=None):
+        """``mesh`` turns on multi-chip inference (SURVEY.md §2.3): params
+        are placed per the Megatron TP rules (replicated when the model
+        axis is 1) and every batch of VAD windows is sharded over the
+        ``data`` axis, so encode + batched decode partition across chips
+        over ICI — the idiomatic replacement for the reference's only
+        scaling lever, batch_size (transcribe.py:31,123)."""
+        self.mesh = mesh
+        self.data_parallel = 1
+        if mesh is not None:
+            from ..parallel import shard_params
+            from ..parallel.mesh import DATA_AXIS
+            params = shard_params(params, mesh)
+            self.data_parallel = mesh.shape[DATA_AXIS]
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -114,7 +128,8 @@ class TranscribePipeline:
                                                        False),
                 )
                 self._decoders[key] = BatchDecoder(
-                    self.params, self.cfg, self.tokenizer, opts)
+                    self.params, self.cfg, self.tokenizer, opts,
+                    mesh=self.mesh)
             return self._decoders[key]
 
     def _features(self, windows: np.ndarray) -> jnp.ndarray:
@@ -130,8 +145,16 @@ class TranscribePipeline:
 
     def _encode_windows(self, windows: np.ndarray) -> jnp.ndarray:
         """Host float windows -> encoder states, one fused device call with
-        int16 transfer."""
+        int16 transfer.  On a mesh the batch ships sharded over the data
+        axis (each chip receives only its rows) and the encoder output
+        stays sharded for the decode program."""
         audio_i16 = np.clip(windows * 32768.0, -32768, 32767).astype(np.int16)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import DATA_AXIS
+            audio_i16 = jax.device_put(
+                audio_i16,
+                NamedSharding(self.mesh, PartitionSpec(DATA_AXIS, None)))
         return _encode_windows_jit(self.params, audio_i16, self.cfg,
                                    self.cfg.n_mels, _on_tpu(),
                                    self._use_pallas(windows))
@@ -171,7 +194,8 @@ class TranscribePipeline:
         lang = language or self.language or "zh"
         decoder = self._decoder(lang, temperature)
         use_ts = not self.asr_options.get("without_timestamps", True)
-        buckets = sorted({_bucket_for(max(1, batch_size >> k), batch_size)
+        buckets = sorted({_bucket_for(max(1, batch_size >> k), batch_size,
+                                      self.data_parallel)
                           for k in range(4)})
         for i, rows in enumerate(buckets):
             if progress_callback:
@@ -254,7 +278,8 @@ class TranscribePipeline:
 
         decoder = self._decoder(lang, temperature, initial_prompt)
         batches = batch_chunks(audio, chunks, batch_size,
-                               window_samples=self.window_samples)
+                               window_samples=self.window_samples,
+                               divisor=self.data_parallel)
         segments: List[dict] = []
         t0 = time.time()
         # submit every encode AND every first-rung decode before fetching
@@ -324,12 +349,34 @@ def _find_weights_dir(name: str) -> Optional[Path]:
     return None
 
 
+def _auto_mesh():
+    """Default multi-chip behavior: with >1 accelerator visible and no
+    explicit opt-out, build a (data, model) mesh over all of them so the
+    inference product scales instead of running at 1-chip speed.
+
+    Knobs: MWX_AUTO_MESH=false disables; MWX_MODEL_PARALLEL sets the TP
+    width (default 1 = pure data parallel); MWX_DATA_PARALLEL caps the
+    device count used."""
+    if not config.get_bool("MWX_AUTO_MESH", True):
+        return None
+    n = jax.device_count()
+    mp = config.get_int("MWX_MODEL_PARALLEL", 1)
+    dp_cap = config.get_int("MWX_DATA_PARALLEL", 0)
+    if dp_cap:
+        n = min(n, dp_cap * mp)
+    if n <= 1 or n % mp != 0:
+        return None
+    from ..parallel import make_mesh
+    return make_mesh(n, model_parallel=mp)
+
+
 def load_model(name: str = "large-v3",
                device: Optional[str] = None,
                compute_type: str = "bfloat16",
                language: Optional[str] = None,
                asr_options: Optional[dict] = None,
                vad_options: Optional[dict] = None,
+               mesh="auto",
                ) -> TranscribePipeline:
     """whisperx.load_model-compatible entry (reference: transcribe.py:107-113).
 
@@ -338,6 +385,10 @@ def load_model(name: str = "large-v3",
     bfloat16 (default; float16 maps here — bf16 is the TPU-native half),
     float32, or int8 (CT2-int8 parity: symmetric per-channel weight-only
     quantization of all block matmuls, ops/quant.py).
+
+    ``mesh``: "auto" (default) builds a (data, model) mesh over all
+    visible accelerators when there is more than one (see _auto_mesh);
+    pass an explicit jax.sharding.Mesh or None to override.
     """
     dtype = {"int8": jnp.bfloat16, "float16": jnp.bfloat16,
              "bfloat16": jnp.bfloat16, "float32": jnp.float32,
@@ -386,7 +437,10 @@ def load_model(name: str = "large-v3",
 
     config.maybe_enable_compile_cache()
     vad_opts = VadOptions(**vad_options) if vad_options else VadOptions()
+    if isinstance(mesh, str) and mesh == "auto":
+        mesh = _auto_mesh()
     return TranscribePipeline(params, cfg, tokenizer, vad=vad,
                               asr_options=asr_options,
                               vad_options=vad_opts,
-                              language=language)
+                              language=language,
+                              mesh=mesh)
