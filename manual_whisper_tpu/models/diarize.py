@@ -52,8 +52,13 @@ class EmbeddingConfig:
 
 
 def _conv2d(x, w, stride):
+    # torch-style symmetric padding (wespeaker uses Conv2d(..., padding=1)):
+    # XLA's SAME pads (0, 1) under stride 2 on even inputs, which shifts
+    # the sampling grid off torch's and breaks checkpoint parity
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride), padding="SAME",
+        x, w, window_strides=(stride, stride), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -80,11 +85,13 @@ def embed_forward(params: Dict[str, Any], feats: jnp.ndarray,
         for bi, blk in enumerate(stage):
             stride = 2 if (si > 0 and bi == 0) else 1
             x = _basic_block(x, blk, stride)
-    # temporal statistics pooling over time (freq folded into channels)
+    # temporal statistics pooling over time, wespeaker TSTP semantics:
+    # flatten order (C, F) to match seg_1's weight layout, unbiased
+    # variance (torch.var default), eps inside the sqrt
     b, t, f, c = x.shape
-    x = x.reshape(b, t, f * c)
+    x = x.transpose(0, 1, 3, 2).reshape(b, t, c * f)
     mean = x.mean(axis=1)
-    std = jnp.sqrt(jnp.clip(x.var(axis=1), 1e-7, None))
+    std = jnp.sqrt(x.var(axis=1, ddof=1) + 1e-7)
     stats = jnp.concatenate([mean, std], axis=-1)
     emb = stats @ params["fc_w"] + params["fc_b"]
     return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-8)
@@ -159,8 +166,10 @@ def convert_wespeaker_resnet(state_dict, cfg: EmbeddingConfig
         return sd[f"{prefix}{name}"]
 
     def conv(name):
-        # torch conv2d [out, in, kh, kw] -> HWIO
-        return g(name).transpose(2, 3, 1, 0)
+        # torch conv2d [out, in, kh, kw] with kh over FREQ and kw over TIME
+        # (wespeaker feeds [B, 1, F, T]); our NHWC layout is [B, T, F, C],
+        # so the kernel's time axis (kw) must land on H and freq (kh) on W
+        return g(name).transpose(3, 2, 1, 0)
 
     def bn(name):
         return {"g": g(f"{name}.weight"), "b": g(f"{name}.bias"),
