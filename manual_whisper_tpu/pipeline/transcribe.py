@@ -425,15 +425,30 @@ def load_model(name: str = "large-v3",
         params = quantize_params(params)
 
     # converted pyannote segmentation weights upgrade the VAD when present
-    # in the registry; silent energy-VAD fallback otherwise
+    # in the registry; energy-VAD fallback otherwise — WITH a warning,
+    # since boundaries (and every downstream timestamp) drift between the
+    # two paths on real audio (reference VAD: transcribe.py:43-46; drift
+    # is measurable via eval.vad_eval.compare_vad_paths)
     vad = None
+    vad_warning = None
     try:
         from ..models.vad import load_segmentation_params
         seg_params = load_segmentation_params()
         if seg_params is not None:
             vad = VoiceActivityDetector(seg_params)
-    except Exception:
+        else:
+            vad_warning = (
+                "no pyannote segmentation checkpoint in MWX_WEIGHTS_DIR")
+    except Exception as exc:
         vad = None
+        vad_warning = f"segmentation weights failed to load: {exc}"
+    if vad is None and config.get_bool("MWX_WARN_VAD_FALLBACK", True):
+        import warnings
+        warnings.warn(
+            f"VAD falling back to energy heuristics ({vad_warning}); "
+            "speech boundaries and downstream timestamps will differ "
+            "from pyannote segmentation on real audio",
+            RuntimeWarning, stacklevel=2)
 
     config.maybe_enable_compile_cache()
     vad_opts = VadOptions(**vad_options) if vad_options else VadOptions()

@@ -110,3 +110,104 @@ def test_pyannet_vad_end_to_end_runs():
     regions = vad(audio, VadOptions())
     for s, e in regions:
         assert 0 <= s < e <= 5.0 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# VAD drift quantification + fallback warning (VERDICT r1 item 8)
+# ---------------------------------------------------------------------------
+
+def _burst_fixture(turns, sr=16000):
+    """Synthetic multi-speaker audio with KNOWN speech regions:
+    ``turns`` = [(start, end, freq), ...]; silence elsewhere."""
+    dur = max(e for _, e, _ in turns) + 1.0
+    t = np.arange(int(sr * dur)) / sr
+    audio = 0.001 * np.random.default_rng(0).standard_normal(len(t))
+    for s, e, f in turns:
+        m = (t >= s) & (t < e)
+        audio[m] += 0.4 * np.sin(2 * np.pi * f * t[m])
+    truth = [(s, e) for s, e, _ in turns]
+    return audio.astype(np.float32), truth
+
+
+def test_energy_vad_boundary_f1_vs_ground_truth():
+    """Energy VAD recovers the true region boundaries of a clean synthetic
+    multi-speaker fixture within 0.2 s (quantified, not assumed)."""
+    from manual_whisper_tpu.eval.vad_eval import (boundary_f1,
+                                                  region_overlap_stats)
+    from manual_whisper_tpu.models.vad import (VadOptions,
+                                               VoiceActivityDetector)
+    audio, truth = _burst_fixture(
+        [(1.0, 3.0, 220.0), (4.0, 6.5, 410.0), (8.0, 9.0, 300.0)])
+    vad = VoiceActivityDetector()   # no weights -> energy path
+    regions = vad(audio, VadOptions())
+    scores = boundary_f1(regions, truth, tolerance=0.2)
+    assert scores["f1"] >= 0.9, scores
+    overlap = region_overlap_stats(regions, truth, len(audio) / 16000)
+    assert overlap["frame_agreement"] >= 0.95, overlap
+
+
+def test_vad_drift_harness_reports_both_views():
+    """compare_vad_paths measures the drift between two VAD paths — here
+    energy VAD vs a deliberately offset variant, with known deltas."""
+    from manual_whisper_tpu.eval.vad_eval import compare_vad_paths
+    audio, truth = _burst_fixture([(1.0, 3.0, 220.0), (5.0, 7.0, 500.0)])
+
+    def vad_a(a):
+        return truth
+
+    def vad_b(a):   # 0.15 s systematic onset drift
+        return [(s + 0.15, e) for s, e in truth]
+
+    report = compare_vad_paths(audio, vad_a, vad_b)
+    assert report["boundary"]["f1"] == 1.0          # within 0.2 s tolerance
+    assert report["deltas"]["n_matched"] == 4
+    assert 0.07 <= report["deltas"]["mean_abs_delta"] <= 0.16
+    assert report["overlap"]["frame_agreement"] < 1.0
+    # and a genuinely disjoint pair scores zero
+    report2 = compare_vad_paths(audio, vad_a,
+                                lambda a: [(8.0, 9.0)])
+    assert report2["boundary"]["f1"] == 0.0
+
+
+def test_energy_vs_pyannet_drift_measured():
+    """The harness runs the real two paths side by side (random-weight
+    PyanNet here — the measurement machinery is what's under test; with
+    converted real weights the same call quantifies production drift)."""
+    import jax
+    from manual_whisper_tpu.eval.vad_eval import compare_vad_paths
+    from manual_whisper_tpu.models.vad import (VadOptions, PyanNetConfig,
+                                               VoiceActivityDetector,
+                                               init_pyannet_params)
+    audio, truth = _burst_fixture([(0.5, 2.0, 220.0), (3.0, 4.5, 400.0)],
+                                  sr=16000)
+    energy = VoiceActivityDetector()
+    pyannet = VoiceActivityDetector(
+        init_pyannet_params(jax.random.PRNGKey(0)))
+    report = compare_vad_paths(
+        audio, lambda a: energy(a, VadOptions()),
+        lambda a: pyannet(a, VadOptions()))
+    for key in ("boundary", "overlap", "deltas"):
+        assert key in report
+    assert 0.0 <= report["overlap"]["frame_agreement"] <= 1.0
+
+
+def test_load_model_warns_on_energy_fallback(monkeypatch):
+    """Silent energy-VAD fallback is no longer silent (the reference's
+    boundaries come from pyannote segmentation, transcribe.py:43-46)."""
+    import warnings
+    from manual_whisper_tpu.pipeline import load_model
+    monkeypatch.delenv("MWX_WEIGHTS_DIR", raising=False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        load_model("test", language="zh")
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("energy" in m for m in msgs), msgs
+
+    monkeypatch.setenv("MWX_WARN_VAD_FALLBACK", "false")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        load_model("test", language="zh")
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert not any("energy" in m for m in msgs), msgs
