@@ -366,6 +366,27 @@ def test_run_second_pass_recovers_and_merges():
     assert out["second_pass"]["recovered_segments"] == 1
 
 
+def test_progress_percent_fallback_without_percent_logs():
+    """When processing logs carry no 'NN%' marker, the server synthesizes
+    50 (reference: buildProgressPayload, transcribe.js:221-226); the
+    client-side estimator covers the no-percent case separately."""
+    from manual_whisper_tpu.serving.jobs import Job
+    from manual_whisper_tpu.serving.server import build_progress_payload
+    job = Job(id="j", ip="1.1.1.1", language="zh", audio_path="",
+              source_filename="")
+    job.status = "processing"
+    job.logs = ["loading model", "still working"]
+    payload = build_progress_payload(job)
+    assert payload["percent"] == 50
+    assert payload["logsTail"] == ["loading model", "still working"]
+    job.logs = ["30% encoding"]
+    assert build_progress_payload(job)["percent"] == 30
+    job.status = "succeeded"
+    assert build_progress_payload(job)["percent"] == 100
+    job.status = "starting"
+    assert build_progress_payload(job)["percent"] == 0
+
+
 def test_second_pass_options_from_env(monkeypatch):
     """All SECOND_PASS_* knobs of web/.env.example:38-47 are consumed."""
     monkeypatch.setenv("SECOND_PASS_BATCH_SIZE", "8")

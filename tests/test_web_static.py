@@ -79,3 +79,47 @@ def test_index_references_only_existing_assets():
         if src.startswith(("http", "data:", "#")):
             continue
         assert (WEB / src).exists(), f"index.html references missing {src}"
+
+
+def test_percent_estimator_matches_reference_semantics():
+    """The monotone percent estimator (reference main.js:437-460) exists
+    with the reference's constants and is wired into progress rendering:
+    explicit percent wins, starting >= 8, processing estimates
+    min(95, 12 + elapsed/6) (40 with no elapsed), succeeded pins 100, and
+    the hint only grows (no browser/JS engine in this image, so these are
+    source-level checks; the server-side NN%-fallback behavior is
+    exercised for real in test_serving.py)."""
+    src = (WEB / "main.js").read_text(encoding="utf-8")
+    assert "function computeTranscribePercent(status, progress)" in src
+    assert "computeTranscribePercent(payload.status" in src  # wired in
+    for marker in (
+        "Math.max(state.percentHint,",          # monotone hint
+        'if (status === "succeeded") return 100;',
+        'status === "failed" || status === "canceled"',
+        "Math.max(state.percentHint, 8);",      # starting floor
+        "Math.min(95, 12 + Math.floor(elapsed / 6)) : 40;",
+        "Math.max(state.percentHint, 5);",      # unknown-status floor
+    ):
+        assert marker in src, marker
+    # the hint resets per task so a second job starts from zero
+    assert "state.percentHint = 0;" in src
+
+
+def test_poll_timeout_message_and_backoff():
+    """Poll budget and zh-CN timeout message (reference apiService.js:6-8,
+    84): 3 s initial, +1 s/poll capped at 10 s, 30 min budget."""
+    src = (WEB / "apiService.js").read_text(encoding="utf-8")
+    assert "const POLL_INITIAL_MS = 3000;" in src
+    assert "const POLL_MAX_MS = 10000;" in src
+    assert "const POLL_TIMEOUT_MS = 30 * 60 * 1000;" in src
+    assert "interval = Math.min(interval + 1000, POLL_MAX_MS);" in src
+    assert "转写超时，请稍后重试" in src
+
+
+def test_progress_extras_surfaced():
+    """Second-pass / quality / log-tail extras reach the progress UI
+    (reference renderPredictionProgress, main.js:397-435)."""
+    src = (WEB / "main.js").read_text(encoding="utf-8")
+    assert "progress.secondPass" in src
+    assert "progress.logsTail" in src
+    assert "status_second_pass" in src

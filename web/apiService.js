@@ -82,5 +82,6 @@ export async function pollTranscriptionStatus(id, onUpdate) {
         await sleep(interval);
         interval = Math.min(interval + 1000, POLL_MAX_MS);
     }
-    throw new Error("Polling timed out after 30 minutes");
+    // reference: apiService.js:84 (zh-CN user-facing timeout message)
+    throw new Error("转写超时，请稍后重试");
 }

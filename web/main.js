@@ -24,6 +24,7 @@ const state = {
     recordTimer: null,
     polling: false,
     lastPercent: 0,
+    percentHint: 0,
     result: null,
     baseName: "transcript",
     confirmAction: null,
@@ -225,6 +226,7 @@ async function startTranscriptionTask() {
     setStep("upload");
     setStatus(t("status_uploading"));
     state.lastPercent = 0;
+    state.percentHint = 0;
 
     try {
         const { fileUrl } = await uploadFile(file, (pct) => {
@@ -251,12 +253,43 @@ function renderPredictionProgress(payload) {
         && payload.status === "processing");
     setStatus(isSecondPass ? t("status_second_pass")
         : t("status_processing"));
-    // 20-95% band for server-side progress; monotone so the bar never
-    // moves backwards
-    const serverPct = clampPercent(progress.percent);
-    setPercent(20 + serverPct * 0.75);
+    // server percent mapped into the 20-95% band (upload owns 0-20);
+    // the estimator keeps the bar moving when no explicit percent arrives
+    const computed = computeTranscribePercent(payload.status || "starting",
+        progress);
+    setPercent(20 + computed * 0.75);
     const tail = progress.logsTail || [];
     $("log-tail").textContent = tail.join("\n");
+}
+
+// Monotone percent estimator (reference: computeTranscribePercent,
+// main.js:437-460): an explicit in-range progress.percent wins; otherwise
+// estimate from status + elapsed time.  state.percentHint only ever grows,
+// so the bar never regresses even when polls carry no "NN%" logs.
+function computeTranscribePercent(status, progress) {
+    const explicit = Number(progress.percent);
+    if (Number.isFinite(explicit) && explicit >= 0 && explicit <= 100) {
+        state.percentHint = Math.max(state.percentHint,
+            Math.round(explicit));
+        return state.percentHint;
+    }
+    if (status === "succeeded") return 100;
+    if (status === "failed" || status === "canceled") {
+        return state.percentHint;
+    }
+    if (status === "starting") {
+        state.percentHint = Math.max(state.percentHint, 8);
+        return state.percentHint;
+    }
+    if (status === "processing") {
+        const elapsed = Number(progress.elapsedSec);
+        const estimated = Number.isFinite(elapsed)
+            ? Math.min(95, 12 + Math.floor(elapsed / 6)) : 40;
+        state.percentHint = Math.max(state.percentHint, estimated);
+        return state.percentHint;
+    }
+    state.percentHint = Math.max(state.percentHint, 5);
+    return state.percentHint;
 }
 
 function setPercent(pct) {
