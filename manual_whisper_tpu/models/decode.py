@@ -27,7 +27,7 @@ import numpy as np
 
 from ..tokenizer import WhisperTokenizer
 from .whisper import (Params, WhisperConfig, decode_step, decoder_forward,
-                      init_kv_cache, precompute_cross_kv)
+                      init_kv_cache, pad_cross_kv, precompute_cross_kv)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +44,7 @@ class DecodingOptions:
     beam_size: int = 1           # faster-whisper/WhisperX default is 5
     length_penalty: float = 1.0
     int8_cross_kv: bool = False  # halve decode HBM traffic (greedy path)
+    fused_attention: bool = False  # Pallas decode-step attention (TPU)
     suppress_blank: bool = True
     suppress_non_speech: bool = True
     without_timestamps: bool = True
@@ -85,14 +86,16 @@ def build_blank_mask(tokenizer: WhisperTokenizer, cfg: WhisperConfig
 
 
 @partial(jax.jit, static_argnames=("eot", "cfg", "max_new", "sot_index",
-                                   "no_speech_token", "int8_cross_kv"))
+                                   "no_speech_token", "int8_cross_kv",
+                                   "fused_attention"))
 def greedy_decode_jit(params: Params, xa: jnp.ndarray,
                       prefix: jnp.ndarray, suppress_mask: jnp.ndarray,
                       blank_mask: jnp.ndarray, temperature: jnp.ndarray,
                       rng: jnp.ndarray,
                       eot: int, cfg: WhisperConfig, max_new: int,
                       sot_index: int = 0, no_speech_token: int = 0,
-                      int8_cross_kv: bool = False):
+                      int8_cross_kv: bool = False,
+                      fused_attention: bool = False):
     """Prefill + decode loop, one compiled program.
 
     xa [B, Ta, d]; prefix [P] shared prompt (identical across the batch —
@@ -100,13 +103,19 @@ def greedy_decode_jit(params: Params, xa: jnp.ndarray,
     Returns (tokens [B, max_new], sum_logprobs [B], lengths [B],
     no_speech_probs [B]).  no-speech prob is read inside the program (the
     full prefill logits never leave the device).
+
+    ``fused_attention`` (TPU): decode-step attentions run as fused Pallas
+    kernels; the cross-KV is padded once to a lane tile and the cache
+    length rounds up to 128 so no padding happens inside the loop.
     """
     b = xa.shape[0]
     p = prefix.shape[0]
     eot_i32 = jnp.int32(eot)
 
     cross_kv = precompute_cross_kv(params, xa, cfg, quantize=int8_cross_kv)
-    cache = init_kv_cache(cfg, b, max_len=p + max_new)
+    cache_len = (p + max_new if not fused_attention
+                 else -(-(p + max_new) // 128) * 128)
+    cache = init_kv_cache(cfg, b, max_len=cache_len)
 
     prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
     # reuse the (possibly int8) cross-KV computed above: re-projecting it
@@ -145,10 +154,14 @@ def greedy_decode_jit(params: Params, xa: jnp.ndarray,
         _, _, i, _, finished, _, _, _ = state
         return jnp.logical_and(i < max_new, ~jnp.all(finished))
 
+    cross_step = pad_cross_kv(cross_kv) if fused_attention else cross_kv
+
     def body(state):
         tokens, last, i, cache, finished, sum_lp, lengths, key = state
         logits, cache = decode_step(params, last, p + i - 1, cache,
-                                    cross_kv, cfg)
+                                    cross_step, cfg,
+                                    use_fused=fused_attention,
+                                    cross_len=xa.shape[1])
         logits = logits + suppress_mask
         key, sub = jax.random.split(key)
         nxt = sample(logits, sub)
@@ -265,7 +278,8 @@ class BatchDecoder:
                 tk.special.eot, self.cfg, max_new,
                 sot_index=sot_index,
                 no_speech_token=tk.special.no_speech,
-                int8_cross_kv=self.opts.int8_cross_kv)
+                int8_cross_kv=self.opts.int8_cross_kv,
+                fused_attention=self.opts.fused_attention)
         return out
 
     def decode_finalize(self, out, b: int, temperature: float = 0.0
@@ -313,7 +327,8 @@ class BatchDecoder:
         return greedy_timestamps_jit(
             self.params, xa, self._replicate(jnp.asarray(prefix)),
             self._replicate(suppress),
-            tk.special.eot, tk.special.timestamp_begin, self.cfg, max_new)
+            tk.special.eot, tk.special.timestamp_begin, self.cfg, max_new,
+            fused_attention=self.opts.fused_attention)
 
     def timestamps_finalize(self, out, chunk_starts: Sequence[float],
                             chunk_durations: Sequence[float]

@@ -28,17 +28,18 @@ import numpy as np
 
 from ..tokenizer import WhisperTokenizer
 from .whisper import (Params, WhisperConfig, decode_step, decoder_forward,
-                      init_kv_cache, precompute_cross_kv)
+                      init_kv_cache, pad_cross_kv, precompute_cross_kv)
 
 NEG = -1e30
 
 
 @partial(jax.jit, static_argnames=("eot", "ts_begin", "cfg", "max_new",
-                                   "max_initial_index"))
+                                   "max_initial_index", "fused_attention"))
 def greedy_timestamps_jit(params: Params, xa: jnp.ndarray,
                           prefix: jnp.ndarray, suppress_mask: jnp.ndarray,
                           eot: int, ts_begin: int, cfg: WhisperConfig,
-                          max_new: int, max_initial_index: int = 50):
+                          max_new: int, max_initial_index: int = 50,
+                          fused_attention: bool = False):
     """Greedy decode with timestamp rules.
 
     ``suppress_mask`` must NOT mask the timestamp region.  Returns
@@ -50,7 +51,9 @@ def greedy_timestamps_jit(params: Params, xa: jnp.ndarray,
     eot_i32 = jnp.int32(eot)
 
     cross_kv = precompute_cross_kv(params, xa, cfg)
-    cache = init_kv_cache(cfg, b, max_len=p + max_new)
+    cache_len = (p + max_new if not fused_attention
+                 else -(-(p + max_new) // 128) * 128)
+    cache = init_kv_cache(cfg, b, max_len=cache_len)
     prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
     prefill_logits, cache = decoder_forward(
         params, prefix_b, None, cfg, pos_offset=0, kv_cache=cache,
@@ -116,11 +119,15 @@ def greedy_timestamps_jit(params: Params, xa: jnp.ndarray,
     def cond(state):
         return jnp.logical_and(state[4] < max_new, ~jnp.all(state[6]))
 
+    cross_step = pad_cross_kv(cross_kv) if fused_attention else cross_kv
+
     def body(state):
         (tokens, last, prev, last_ts, i, cache, finished, sum_lp,
          lengths) = state
         logits, cache = decode_step(params, last, p + i - 1, cache,
-                                    cross_kv, cfg)
+                                    cross_step, cfg,
+                                    use_fused=fused_attention,
+                                    cross_len=xa.shape[1])
         logits = apply_rules(logits, last, prev, last_ts)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, eot_i32, nxt)

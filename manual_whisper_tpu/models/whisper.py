@@ -355,6 +355,31 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
     return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
 
 
+def pad_cross_kv(cross_kv, multiple: int = 128):
+    """Pad the cross-KV position axis up to a lane-tile multiple.
+
+    The fused decode-step kernels (ops/decode_attention.py) take whole-
+    array blocks whose last dim must tile to 128 lanes; padding ONCE here
+    (scales padded with zeros) avoids a per-step jnp.pad copy of the
+    loop's dominant HBM tensor inside the decode while_loop.  The true
+    valid length is passed to the kernels separately (``cross_len``)."""
+    ta = cross_kv[0].shape[-1]
+    ta_pad = -(-ta // multiple) * multiple
+    if ta_pad == ta:
+        return cross_kv
+    pad = [(0, 0)] * (cross_kv[0].ndim - 1) + [(0, ta_pad - ta)]
+    return tuple(jnp.pad(x, pad) for x in cross_kv)
+
+
+def _cross_attend_fused(xq, xkv, kv_len: int):
+    """Fused-kernel cross attention (decode steps, q_len=1)."""
+    from ..ops.decode_attention import (decode_cross_attention,
+                                        decode_cross_attention_int8)
+    if len(xkv) == 2:
+        return decode_cross_attention(xq, *xkv, kv_len=kv_len)
+    return decode_cross_attention_int8(xq, *xkv, kv_len=kv_len)
+
+
 def _cross_attend(xq, xkv, dh):
     """Cross attention scores/values; xkv is transposed (k, v) of
     [B, H, dh, T] or the int8 4-tuple from quantize_cross_kv (scales
@@ -374,25 +399,39 @@ def _cross_attend(xq, xkv, dh):
     return jnp.einsum("bhqk,bhdk->bhqd", xprobs, v_q.astype(xq.dtype))
 
 
-def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, xkv):
+def _decoder_block(h, blk, n_head, self_k, self_v, self_mask, xkv,
+                   fused_pos=None, cross_len: int = 0):
     """One decoder block given explicit self-attn K/V ([B, H, dh, T]
-    transposed) and cross K/V."""
+    transposed) and cross K/V.
+
+    With ``fused_pos`` (decode steps, q_len=1) both attentions run as
+    single Pallas kernels (ops/decode_attention.py): K/V stream through
+    VMEM once, dequant/softmax stay on-chip, no score tensor touches HBM.
+    ``cross_len`` is the true cross length when xkv was pre-padded."""
     a_in = _layer_norm(h, blk["ln1"])
     q = _split_heads(mm(a_in, blk["attn"]["q_w"]) + blk["attn"]["q_b"],
                      n_head)
     dh = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhdk->bhqk", q, self_k,
-                        preferred_element_type=jnp.float32) * dh ** -0.5
-    if self_mask is not None:
-        scores = scores + self_mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    attn_out = _merge_heads(jnp.einsum("bhqk,bhdk->bhqd", probs, self_v))
+    if fused_pos is not None:
+        from ..ops.decode_attention import decode_self_attention
+        attn_out = _merge_heads(
+            decode_self_attention(q, self_k, self_v, fused_pos))
+    else:
+        scores = jnp.einsum("bhqd,bhdk->bhqk", q, self_k,
+                            preferred_element_type=jnp.float32) * dh ** -0.5
+        if self_mask is not None:
+            scores = scores + self_mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn_out = _merge_heads(jnp.einsum("bhqk,bhdk->bhqd", probs, self_v))
     h = h + (mm(attn_out, blk["attn"]["o_w"]) + blk["attn"]["o_b"])
 
     x_in = _layer_norm(h, blk["lnx"])
     xq = _split_heads(mm(x_in, blk["xattn"]["q_w"]) + blk["xattn"]["q_b"],
                       n_head)
-    xout = _merge_heads(_cross_attend(xq, xkv, dh))
+    if fused_pos is not None:
+        xout = _merge_heads(_cross_attend_fused(xq, xkv, cross_len))
+    else:
+        xout = _merge_heads(_cross_attend(xq, xkv, dh))
     h = h + (mm(xout, blk["xattn"]["o_w"]) + blk["xattn"]["o_b"])
 
     m_in = _layer_norm(h, blk["ln2"])
@@ -471,11 +510,16 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
 def decode_step(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
                 kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
                 cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
-                cfg: WhisperConfig,
+                cfg: WhisperConfig, use_fused: bool = False,
+                cross_len: int = 0,
                 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Single decode step (not jitted: called inside the decode loop's scan).
 
     token [B] int32, pos scalar int32 -> (logits [B, n_vocab], new cache).
+
+    ``use_fused`` routes both attentions to the fused Pallas decode
+    kernels (TPU); ``cross_len`` is the true cross length when cross_kv
+    was padded with pad_cross_kv.
     """
     dec = params["decoder"]
     n_head = cfg.n_text_head
@@ -501,7 +545,9 @@ def decode_step(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
             ck, jnp.swapaxes(new_k, -1, -2).astype(ck.dtype), (0, 0, 0, pos))
         cv = jax.lax.dynamic_update_slice(
             cv, jnp.swapaxes(new_v, -1, -2).astype(cv.dtype), (0, 0, 0, pos))
-        h = _decoder_block(h, blk, n_head, ck, cv, mask, xkv)
+        h = _decoder_block(h, blk, n_head, ck, cv, mask, xkv,
+                           fused_pos=pos if use_fused else None,
+                           cross_len=cross_len)
         return h, (ck, cv)
 
     x, (new_ck, new_cv) = jax.lax.scan(

@@ -126,6 +126,11 @@ class TranscribePipeline:
                     beam_size=self.asr_options.get("beam_size", 1),
                     int8_cross_kv=self.asr_options.get("int8_cross_kv",
                                                        False),
+                    # fused Pallas decode-step attention: TPU default,
+                    # einsum path elsewhere (kernels need the Mosaic
+                    # compiler); override via asr_options for A/B runs
+                    fused_attention=self.asr_options.get(
+                        "fused_attention", _on_tpu()),
                 )
                 self._decoders[key] = BatchDecoder(
                     self.params, self.cfg, self.tokenizer, opts,
