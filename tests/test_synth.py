@@ -1,0 +1,73 @@
+"""Synthetic tone-language corpus: determinism and fixture invariants.
+
+The corpus is the ground truth behind EVAL_r*.json (tools/train_synth.py +
+tools/run_synth_eval.py); if rendering drifts, recorded quality numbers
+stop being comparable across rounds — hence the bit-exactness tests.
+"""
+
+import numpy as np
+
+from manual_whisper_tpu.eval.synth import (GAP_SEC, WORD_SEC, WORDS,
+                                           make_corpus, render_conversation,
+                                           render_file, render_utterance,
+                                           sample_text, turns_to_rttm)
+from manual_whisper_tpu.models import MODEL_CONFIGS
+from manual_whisper_tpu.tokenizer import make_test_tokenizer
+
+
+def test_render_deterministic():
+    a = render_utterance(["bo", "ta"], seed=7)
+    b = render_utterance(["bo", "ta"], seed=7)
+    np.testing.assert_array_equal(a, b)
+    c = render_utterance(["bo", "ta"], seed=8)
+    assert not np.array_equal(a, c)
+
+
+def test_corpus_deterministic_and_fits_window():
+    """Every utterance must fit the test config's 1.2 s model window with
+    100 ms of onset-jitter headroom (tools/train_synth.py)."""
+    cfg = MODEL_CONFIGS["test"]
+    window = cfg.n_audio_ctx * 2 * 160
+    corpus = make_corpus(64, seed=3)
+    again = make_corpus(64, seed=3)
+    for (a1, t1), (a2, t2) in zip(corpus, again):
+        np.testing.assert_array_equal(a1, a2)
+        assert t1 == t2
+        assert len(a1) + 1600 <= window
+        assert all(w in WORDS for w in t1.split())
+
+
+def test_tokens_fit_training_seq_len():
+    tk = make_test_tokenizer()
+    prefix = tk.sot_sequence(language="en", task="transcribe")
+    longest = " ".join(["mei"] * 3)          # longest word x max_words
+    toks = prefix + tk.encode(" " + longest) + [tk.special.eot]
+    assert len(toks) <= 24                    # train_synth.py seq_len
+
+
+def test_render_file_transcript_order():
+    utts = [["bo", "da"], ["su"], ["ta", "ki", "lu"]]
+    audio, text = render_file(utts, seed=0)
+    assert text == "bo da su ta ki lu"
+    # silence gaps exist between utterances (VAD separability)
+    assert len(audio) > sum(len(u) for u in utts) * int(
+        (WORD_SEC + GAP_SEC) * 16000)
+
+
+def test_conversation_rttm_consistent():
+    audio, turns = render_conversation(n_turns=6, seed=2)
+    assert {t.speaker for t in turns} == {"SPEAKER_00", "SPEAKER_01"}
+    rttm = turns_to_rttm(turns)
+    dur = len(audio) / 16000.0
+    prev_end = 0.0
+    for t in rttm:
+        assert 0.0 <= t["start"] < t["end"] <= dur + 1e-6
+        assert t["start"] >= prev_end          # non-overlapping turns
+        prev_end = t["end"]
+
+
+def test_sample_text_bounds():
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        words = sample_text(rng, 1, 3)
+        assert 1 <= len(words) <= 3

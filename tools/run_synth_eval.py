@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Measure WER/CER (+DER) through the FULL pipeline on the synth corpus.
+
+Loads the checkpoint tools/train_synth.py produced and runs the real
+product path — energy/PyanNet VAD -> chunk merger -> batched mel ->
+encoder -> KV-cache decode -> text cleanup — on held-out synthetic files
+(multi-utterance, so VAD boundaries and chunk batching are really
+exercised), then scores WER/CER against the known transcripts and DER on
+two-speaker conversations.  Writes EVAL_r{N}.json at the repo root: the
+regressable quality number VERDICT.md round 1 asked for (BASELINE.json
+"WER + DER parity" north star; the reference itself publishes no numbers,
+SURVEY.md §6).
+
+Usage: python tools/run_synth_eval.py [--ckpt .synth_ckpt] [--files 24]
+       [--out EVAL_r02.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=".synth_ckpt")
+    ap.add_argument("--files", type=int, default=24)
+    ap.add_argument("--convos", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=9000)
+    ap.add_argument("--out", default="EVAL_r02.json")
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (default) or tpu; env JAX_PLATFORMS is "
+                         "pinned by the axon sitecustomize, config wins")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from manual_whisper_tpu.convert.from_hf import load_params
+    from manual_whisper_tpu.eval.metrics import cer, der, wer
+    from manual_whisper_tpu.eval.synth import (render_conversation,
+                                               render_file, sample_text,
+                                               turns_to_rttm)
+    from manual_whisper_tpu.models import MODEL_CONFIGS
+    from manual_whisper_tpu.pipeline.transcribe import TranscribePipeline
+    from manual_whisper_tpu.text import clean_result_segments
+    from manual_whisper_tpu.tokenizer import make_test_tokenizer
+
+    ckpt = Path(args.ckpt).resolve()
+    params = load_params(ckpt)
+    if params is None:
+        print(f"no checkpoint at {ckpt}; run tools/train_synth.py first",
+              file=sys.stderr)
+        return 1
+
+    cfg = MODEL_CONFIGS["test"]
+    model = TranscribePipeline(params, cfg, make_test_tokenizer(),
+                               asr_options={"max_new_tokens": 20},
+                               language="en")
+
+    # -- WER/CER over held-out multi-utterance files -------------------------
+    rng = np.random.default_rng(args.seed)
+    rows = []
+    wer_sum = cer_sum = 0.0
+    total_audio = total_wall = 0.0
+    for i in range(args.files):
+        utts = [sample_text(rng, 1, 3)
+                for _ in range(int(rng.integers(2, 5)))]
+        audio, truth = render_file(utts, seed=args.seed + i)
+        t0 = time.time()
+        result = model.transcribe(audio, batch_size=args.batch,
+                                  language="en")
+        wall = time.time() - t0
+        cleaned, _, _ = clean_result_segments(result["segments"])
+        hyp = " ".join(s["text"].strip() for s in cleaned)
+        rows.append({"file": i, "ref": truth, "hyp": hyp,
+                     "wer": round(wer(truth, hyp), 4),
+                     "cer": round(cer(truth, hyp), 4)})
+        wer_sum += rows[-1]["wer"]
+        cer_sum += rows[-1]["cer"]
+        total_audio += len(audio) / 16000.0
+        total_wall += wall
+        print(json.dumps(rows[-1], ensure_ascii=False), flush=True)
+
+    # -- DER over two-speaker conversations ----------------------------------
+    ders = []
+    try:
+        from manual_whisper_tpu.models.diarize import DiarizationPipeline
+        diar = DiarizationPipeline()
+        for i in range(args.convos):
+            audio, turns = render_conversation(n_turns=8,
+                                               seed=args.seed + 500 + i)
+            hyp_turns = diar(audio)
+            d = der(turns_to_rttm(turns), hyp_turns)
+            ders.append(round(d, 4))
+            print(json.dumps({"convo": i, "der": ders[-1]}), flush=True)
+    except Exception as exc:  # diarization must not sink the ASR numbers
+        print(f"diarization eval failed: {exc}", file=sys.stderr)
+
+    summary = {
+        "task": "synthetic tone-language, full pipeline "
+                "(VAD->chunk->mel->encode->decode->cleanup)",
+        "checkpoint": str(ckpt),
+        "files": args.files,
+        "mean_wer": round(wer_sum / max(args.files, 1), 4),
+        "mean_cer": round(cer_sum / max(args.files, 1), 4),
+        "corpus_rtf": round(total_audio / max(total_wall, 1e-9), 2),
+        "der": {"convos": len(ders),
+                "mean_der": round(sum(ders) / len(ders), 4) if ders
+                else None,
+                "note": "diarization runs segmentation+embedding with "
+                        "randomly-initialized weights when no converted "
+                        "pyannote/wespeaker checkpoint is present; DER "
+                        "then measures the clustering pipeline on "
+                        "random-projection embeddings"},
+        "worst": sorted(rows, key=lambda r: -r["wer"])[:3],
+    }
+    Path(args.out).write_text(json.dumps(summary, indent=2,
+                                         ensure_ascii=False) + "\n")
+    print(json.dumps({k: summary[k] for k in
+                      ("mean_wer", "mean_cer", "corpus_rtf")}))
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Train the `test` Whisper config on the synthetic tone language.
+
+Produces the checkpoint tools/run_synth_eval.py evaluates — the repo's
+only way to record a REAL (trained-model) WER through the full pipeline
+without hub access (the reference defines quality via downloaded
+checkpoints, transcribe.py:107-113; see eval/synth.py for the rationale).
+
+The training windows replicate the inference path exactly: utterance at a
+random onset inside the model window, int16 round-trip (the pipeline ships
+audio to the device as int16), the same log-mel front end, and the same
+SOT prompt sequence BatchDecoder builds at decode time.
+
+Usage: python tools/train_synth.py [--steps 1500] [--batch 64]
+       [--out .synth_ckpt] [--seed 1]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--n-train", type=int, default=4096)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--out", default=".synth_ckpt")
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (default: the model is tiny and the chip "
+                         "should stay free for serving/bench) or tpu")
+    args = ap.parse_args()
+
+    import jax
+    # env JAX_PLATFORMS is pinned by the axon sitecustomize; config wins
+    jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from manual_whisper_tpu.eval.synth import make_corpus
+    from manual_whisper_tpu.models import MODEL_CONFIGS, init_params
+    from manual_whisper_tpu.ops.mel import log_mel_spectrogram
+    from manual_whisper_tpu.tokenizer import make_test_tokenizer
+    from manual_whisper_tpu.training.train import (init_train_state,
+                                                   make_train_step)
+
+    cfg = MODEL_CONFIGS["test"]          # float32, d=64, 2+2 layers
+    tk = make_test_tokenizer()
+    window = cfg.n_audio_ctx * 2 * 160   # 1.2 s at 16 kHz
+    seq_len = 24
+    prefix = tk.sot_sequence(language="en", task="transcribe",
+                             without_timestamps=True)
+    p = len(prefix)
+    eot = tk.special.eot
+
+    print(f"synth corpus: {args.n_train} utterances", flush=True)
+    corpus = make_corpus(args.n_train, seed=args.seed)
+
+    rng = np.random.default_rng(args.seed)
+
+    def make_batch(idx):
+        audio = np.zeros((len(idx), window), np.float32)
+        tokens = np.full((len(idx), seq_len), eot, np.int32)
+        mask = np.zeros((len(idx), seq_len), np.float32)
+        for row, j in enumerate(idx):
+            wav, text = corpus[j]
+            onset = int(rng.integers(0, 1600))      # up to 100 ms shift
+            n = min(len(wav), window - onset)
+            audio[row, onset:onset + n] = wav[:n]
+            toks = prefix + tk.encode(" " + text) + [eot]
+            assert len(toks) <= seq_len, (len(toks), text)
+            tokens[row, :len(toks)] = toks
+            mask[row, p:len(toks)] = 1.0            # text tokens + first EOT
+        # inference ships int16 audio; train on the same quantization
+        audio = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
+        audio = audio.astype(np.float32) / 32768.0
+        mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=cfg.n_mels)
+        return mel, jnp.asarray(tokens), jnp.asarray(mask)
+
+    params = init_params(jax.random.PRNGKey(args.seed), cfg)
+    optimizer = optax.adamw(
+        optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, warmup_steps=50, decay_steps=args.steps),
+        weight_decay=1e-4)
+    state = init_train_state(params, optimizer)
+    step_fn = make_train_step(cfg, optimizer)
+
+    t0 = time.time()
+    for step in range(args.steps):
+        idx = rng.integers(0, len(corpus), args.batch)
+        mel, tokens, mask = make_batch(idx)
+        state, loss = step_fn(state, mel, tokens, mask)
+        if step % 100 == 0 or step == args.steps - 1:
+            print(f"step {step:5d}  loss {float(loss):.4f}  "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    out = Path(args.out).resolve()
+    from manual_whisper_tpu.convert.from_hf import save_params
+    save_params(jax.device_get(state.params), out)
+    print(f"saved checkpoint to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
