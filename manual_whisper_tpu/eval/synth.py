@@ -116,26 +116,37 @@ class Turn:
 def _speaker_voice(audio: np.ndarray, speaker: int,
                    sr: int = SAMPLE_RATE) -> np.ndarray:
     """Give each speaker a distinct spectral register: speaker 1's words
-    are ring-modulated up in frequency (a crude but deterministic 'voice
-    quality' separation that any reasonable embedding separates)."""
+    ride a 4.5 kHz ring-modulation carrier, moving the whole voice into a
+    band disjoint from speaker 0's low-word register (conversations draw
+    words from the low half of the lexicon, see render_conversation).
+    Between-speaker separation then dominates within-speaker content
+    variance, as register does for real voices."""
     if speaker == 0:
         return audio
     t = np.arange(len(audio)) / sr
-    carrier = np.cos(2 * np.pi * 2100.0 * t).astype(np.float32)
+    carrier = np.cos(2 * np.pi * 4500.0 * t).astype(np.float32)
     return (audio * carrier).astype(np.float32)
 
 
 def render_conversation(n_turns: int = 8, seed: int = 0,
                         gap_sec: float = 0.45, sr: int = SAMPLE_RATE
                         ) -> Tuple[np.ndarray, List[Turn]]:
-    """Alternating two-speaker conversation -> (audio, reference turns)."""
+    """Alternating two-speaker conversation -> (audio, reference turns).
+
+    Turns run 6-10 words (~2-3 s) — meeting-like lengths that the 3 s
+    sliding embedding windows of DiarizationPipeline can capture as
+    single-speaker; sub-second turns would put both voices in every
+    window and measure the fixture, not the pipeline."""
     rng = np.random.default_rng(seed)
     parts = [np.zeros(int(0.3 * sr), np.float32)]
     turns: List[Turn] = []
     cursor = 0.3
-    for i in range(n_turns):
+    low_words = WORD_LIST[:6]            # <=1.34 kHz: disjoint from the
+    for i in range(n_turns):             # ring-modulated speaker-1 band
         spk = i % 2
-        words = sample_text(rng, 2, 3)
+        words = [low_words[int(j)]
+                 for j in rng.integers(0, len(low_words),
+                                       int(rng.integers(6, 11)))]
         wav = render_utterance(words, seed=seed * 31337 + i, sr=sr)
         wav = _speaker_voice(wav, spk, sr)
         dur = len(wav) / sr

@@ -30,6 +30,10 @@ def main() -> int:
     ap.add_argument("--files", type=int, default=24)
     ap.add_argument("--convos", type=int, default=6)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--beam", type=int, default=1,
+                    help="beam size (5 = faster-whisper/WhisperX default; "
+                         "records the WER delta that justifies the greedy "
+                         "perf default)")
     ap.add_argument("--seed", type=int, default=9000)
     ap.add_argument("--out", default="EVAL_r02.json")
     ap.add_argument("--platform", default="cpu",
@@ -61,7 +65,8 @@ def main() -> int:
 
     cfg = MODEL_CONFIGS["test"]
     model = TranscribePipeline(params, cfg, make_test_tokenizer(),
-                               asr_options={"max_new_tokens": 20},
+                               asr_options={"max_new_tokens": 20,
+                                            "beam_size": args.beam},
                                language="en")
 
     # -- WER/CER over held-out multi-utterance files -------------------------
@@ -107,6 +112,7 @@ def main() -> int:
         "task": "synthetic tone-language, full pipeline "
                 "(VAD->chunk->mel->encode->decode->cleanup)",
         "checkpoint": str(ckpt),
+        "beam_size": args.beam,
         "files": args.files,
         "mean_wer": round(wer_sum / max(args.files, 1), 4),
         "mean_cer": round(cer_sum / max(args.files, 1), 4),
