@@ -116,8 +116,9 @@ def main() -> int:
     # the decode loop is weight/cross-KV bandwidth bound on TPU.
     compute_type = os.environ.get("BENCH_COMPUTE_TYPE", "int8")
     int8_ckv = os.environ.get("BENCH_INT8_CROSS_KV", "1") == "1"
-    # BENCH_FUSED=0 pins the einsum decode path for A/B runs; default
-    # follows the pipeline (fused Pallas decode-step kernels on TPU)
+    # BENCH_FUSED=1 pins the Pallas decode kernels for A/B runs; the
+    # default follows the pipeline (einsum decode path — measured
+    # faster, see ops/decode_attention.py and tools/bench_decode_step.py)
     fused_env = os.environ.get("BENCH_FUSED")
 
     from manual_whisper_tpu.pipeline import load_model

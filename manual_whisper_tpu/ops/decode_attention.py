@@ -2,12 +2,26 @@
 
 The decode loop's per-token cost is HBM bandwidth on three tensors: the
 int8 cross-attention K/V (~2 GB/step at large-v3 batch 16), the bf16
-self-attention cache, and the int8 weights.  The einsum path
-(models/whisper.py `_cross_attend`) expresses the attention as four XLA
-ops (dequant-dot, scale, softmax, dot); this module fuses each attention
-into ONE Pallas kernel so the quantized K/V stream through VMEM exactly
-once per step, the int8->f32 dequantisation happens in registers, and no
-score/prob tensor ever round-trips HBM.
+self-attention cache, and the int8 weights.  These kernels fuse each
+attention (dequant-dot, scale, softmax, weighted sum) into ONE Pallas
+program so the quantized K/V stream through VMEM exactly once per step
+with the int8->f32 dequantisation in registers and no score tensor in HBM.
+
+Grid layout: one program per BATCH row with every head resident
+(per-program block ≈ heads × 2 × dh × T — ~3.8 MB for large-v3 cross
+K/V), so each grid step issues megabyte-scale DMAs instead of one
+per-head sliver; all heads compute in one VPU broadcast-multiply-reduce
+(q_len=1 attention is a batched matvec — skinny [1,dh]x[dh,T] MXU
+matmuls drive 1 of 128 MXU rows).
+
+Measured honestly (tools/bench_decode_step.py, same process, same
+params, v5e, large-v3 batch 16 int8+ckv8, 112 steps): einsum
+10.6 ms/step vs 16.3 ms/step for the best of three kernel layouts
+tried ((B*H,) grid per-head, (B,) grid MXU head-loop, (B,) grid VPU
+all-heads).  XLA already fuses dequant-dot-softmax-dot at q_len=1
+close to the HBM bound, so the EINSUM PATH IS THE PIPELINE DEFAULT
+(pipeline/transcribe.py); these kernels stay behind
+asr_options={"fused_attention": True} as the measured alternative.
 
 Layouts match the transposed cache the model keeps (position on the
 128-lane axis):
@@ -17,8 +31,7 @@ Layouts match the transposed cache the model keeps (position on the
 
 Replaces the CTranslate2 C++ fused decoder attention the reference drives
 through ``model.transcribe`` (reference: transcribe.py:123); the encoder's
-flash kernel lives in ops/attention.py (this file is the decoder half its
-docstring points to).
+flash kernel lives in ops/attention.py.
 """
 
 from __future__ import annotations
@@ -38,28 +51,40 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _attend_all_heads(q, k, v, valid_mask, scale, k_scale=None,
+                      v_scale=None):
+    """All heads on the VPU in one shot — no MXU, no head loop.
+
+    q [H, dh] f32; k/v [H, dh, T]; valid_mask [1, T]; scales [H, 1, T].
+    q_len=1 attention is a batched matvec: a [1,dh]x[dh,T] MXU matmul
+    drives 1 of 128 MXU rows, so broadcast-multiply + reduce on the
+    8x128 VPU beats 2*n_head skinny matmuls.  Returns [H, dh] f32.
+    """
+    qk = (q * scale)[:, :, None] * k.astype(jnp.float32)  # [H, dh, T]
+    s = jnp.sum(qk, axis=1)                               # [H, T]
+    if k_scale is not None:
+        s = s * k_scale[:, 0, :]
+    s = jnp.where(valid_mask, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    if v_scale is not None:
+        p = p * v_scale[:, 0, :]
+    return jnp.sum(p[:, None, :] * v.astype(jnp.float32), axis=2)
+
+
 # ---------------------------------------------------------------------------
 # Cross-attention: int8 K/V with per-position scales
 # ---------------------------------------------------------------------------
 
-def _cross_kernel(kv_len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, out_ref,
-                  *, scale: float):
-    """One (b*h) grid step: q [1, dh] against int8 K/V [dh, Ta_pad]."""
-    q = q_ref[0].astype(jnp.float32) * scale                 # [1, dh]
+def _cross_int8_kernel(kv_len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                       out_ref, *, scale: float, n_head: int):
+    del n_head
     kv_len = kv_len_ref[0]
-    k = kq_ref[0].astype(jnp.float32)                        # [dh, Ta]
-    s = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [1, Ta]
-    s = s * ks_ref[0]                                        # dequant scores
-    t_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(t_pos < kv_len, s, _NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    pv = p * vs_ref[0]                                       # fold v scales
-    v = vq_ref[0].astype(jnp.float32)                        # [dh, Ta]
-    out = jax.lax.dot_general(pv, v, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [1, dh]
+    t = kq_ref.shape[-1]
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) < kv_len)
+    out = _attend_all_heads(q_ref[0].astype(jnp.float32), kq_ref[0],
+                            vq_ref[0], valid, scale, ks_ref[0], vs_ref[0])
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -84,58 +109,49 @@ def decode_cross_attention_int8(q: jnp.ndarray, k_q: jnp.ndarray,
     kv_len = kv_len or ta
     scale = 1.0 / math.sqrt(dh)
 
-    qf = q.reshape(b * h, 1, dh)
+    qf = q.reshape(b, h, dh)
     pad = [(0, 0), (0, 0), (0, 0), (0, ta_pad - ta)]
-    kqf = jnp.pad(k_q, pad).reshape(b * h, dh, ta_pad)
-    vqf = jnp.pad(v_q, pad).reshape(b * h, dh, ta_pad)
-    ksf = jnp.pad(k_s, pad).reshape(b * h, 1, ta_pad)
-    vsf = jnp.pad(v_s, pad).reshape(b * h, 1, ta_pad)
+    k_q, v_q = jnp.pad(k_q, pad), jnp.pad(v_q, pad)
+    k_s, v_s = jnp.pad(k_s, pad), jnp.pad(v_s, pad)
 
     out = pl.pallas_call(
-        functools.partial(_cross_kernel, scale=scale),
+        functools.partial(_cross_int8_kernel, scale=scale, n_head=h),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b * h,),
+            grid=(b,),
             in_specs=[
-                pl.BlockSpec((1, 1, dh), lambda i, _: (i, 0, 0)),
-                pl.BlockSpec((1, dh, ta_pad), lambda i, _: (i, 0, 0)),
-                pl.BlockSpec((1, 1, ta_pad), lambda i, _: (i, 0, 0)),
-                pl.BlockSpec((1, dh, ta_pad), lambda i, _: (i, 0, 0)),
-                pl.BlockSpec((1, 1, ta_pad), lambda i, _: (i, 0, 0)),
+                pl.BlockSpec((1, h, dh), lambda i, _: (i, 0, 0)),
+                pl.BlockSpec((1, h, dh, ta_pad), lambda i, _: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, 1, ta_pad), lambda i, _: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, dh, ta_pad), lambda i, _: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, 1, ta_pad), lambda i, _: (i, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, dh), lambda i, _: (i, 0, 0)),
+            out_specs=pl.BlockSpec((1, h, dh), lambda i, _: (i, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, 1, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * ta * dh,
-            bytes_accessed=(kqf.size + vqf.size
-                            + 4 * (ksf.size + vsf.size) + 2 * qf.size * 2),
+            bytes_accessed=(k_q.size + v_q.size
+                            + 4 * (k_s.size + v_s.size) + 4 * qf.size),
             transcendentals=b * h * ta,
         ),
         interpret=interpret,
-    )(jnp.asarray([kv_len], jnp.int32), qf, kqf, ksf, vqf, vsf)
+    )(jnp.asarray([kv_len], jnp.int32), qf, k_q, k_s, v_q, v_s)
     return out.reshape(b, h, 1, dh)
 
 
 # ---------------------------------------------------------------------------
-# Cross-attention: bf16 K/V (no scales) — same kernel shape, unit dequant
+# Cross-attention: bf16 K/V (no scales)
 # ---------------------------------------------------------------------------
 
 def _cross_bf16_kernel(kv_len_ref, q_ref, k_ref, v_ref, out_ref,
-                       *, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale
+                       *, scale: float, n_head: int):
+    del n_head
     kv_len = kv_len_ref[0]
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    t_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(t_pos < kv_len, s, _NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    v = v_ref[0].astype(jnp.float32)
-    out = jax.lax.dot_general(p, v, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    t = k_ref.shape[-1]
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) < kv_len)
+    out = _attend_all_heads(q_ref[0].astype(jnp.float32), k_ref[0],
+                            v_ref[0], valid, scale)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -152,31 +168,30 @@ def decode_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kv_len = kv_len or ta
     scale = 1.0 / math.sqrt(dh)
 
-    qf = q.reshape(b * h, 1, dh)
+    qf = q.reshape(b, h, dh)
     pad = [(0, 0), (0, 0), (0, 0), (0, ta_pad - ta)]
-    kf = jnp.pad(k, pad).reshape(b * h, dh, ta_pad)
-    vf = jnp.pad(v, pad).reshape(b * h, dh, ta_pad)
+    k, v = jnp.pad(k, pad), jnp.pad(v, pad)
 
     out = pl.pallas_call(
-        functools.partial(_cross_bf16_kernel, scale=scale),
+        functools.partial(_cross_bf16_kernel, scale=scale, n_head=h),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b * h,),
+            grid=(b,),
             in_specs=[
-                pl.BlockSpec((1, 1, dh), lambda i, _: (i, 0, 0)),
-                pl.BlockSpec((1, dh, ta_pad), lambda i, _: (i, 0, 0)),
-                pl.BlockSpec((1, dh, ta_pad), lambda i, _: (i, 0, 0)),
+                pl.BlockSpec((1, h, dh), lambda i, _: (i, 0, 0)),
+                pl.BlockSpec((1, h, dh, ta_pad), lambda i, _: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, dh, ta_pad), lambda i, _: (i, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, dh), lambda i, _: (i, 0, 0)),
+            out_specs=pl.BlockSpec((1, h, dh), lambda i, _: (i, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, 1, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * ta * dh,
-            bytes_accessed=(kf.size + vf.size) * 2 + 2 * qf.size * 2,
+            bytes_accessed=(k.size + v.size) * 2 + 4 * qf.size,
             transcendentals=b * h * ta,
         ),
         interpret=interpret,
-    )(jnp.asarray([kv_len], jnp.int32), qf, kf, vf)
+    )(jnp.asarray([kv_len], jnp.int32), qf, k, v)
     return out.reshape(b, h, 1, dh)
 
 
@@ -184,20 +199,14 @@ def decode_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # Self-attention over the growing cache: bf16 K/V, valid slots <= pos
 # ---------------------------------------------------------------------------
 
-def _self_kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale
+def _self_kernel(pos_ref, q_ref, k_ref, v_ref, out_ref,
+                 *, scale: float, n_head: int):
+    del n_head
     pos = pos_ref[0]
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    t_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(t_pos <= pos, s, _NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    v = v_ref[0].astype(jnp.float32)
-    out = jax.lax.dot_general(p, v, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    t = k_ref.shape[-1]
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) <= pos)
+    out = _attend_all_heads(q_ref[0].astype(jnp.float32), k_ref[0],
+                            v_ref[0], valid, scale)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -219,28 +228,26 @@ def decode_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         t_max = k.shape[-1]
     scale = 1.0 / math.sqrt(dh)
 
-    qf = q.reshape(b * h, 1, dh)
-    kf = k.reshape(b * h, dh, t_max)
-    vf = v.reshape(b * h, dh, t_max)
+    qf = q.reshape(b, h, dh)
 
     out = pl.pallas_call(
-        functools.partial(_self_kernel, scale=scale),
+        functools.partial(_self_kernel, scale=scale, n_head=h),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b * h,),
+            grid=(b,),
             in_specs=[
-                pl.BlockSpec((1, 1, dh), lambda i, _: (i, 0, 0)),
-                pl.BlockSpec((1, dh, t_max), lambda i, _: (i, 0, 0)),
-                pl.BlockSpec((1, dh, t_max), lambda i, _: (i, 0, 0)),
+                pl.BlockSpec((1, h, dh), lambda i, _: (i, 0, 0)),
+                pl.BlockSpec((1, h, dh, t_max), lambda i, _: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, dh, t_max), lambda i, _: (i, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, dh), lambda i, _: (i, 0, 0)),
+            out_specs=pl.BlockSpec((1, h, dh), lambda i, _: (i, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, 1, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * t_max * dh,
-            bytes_accessed=(kf.size + vf.size) * 2 + 2 * qf.size * 2,
+            bytes_accessed=(k.size + v.size) * 2 + 4 * qf.size,
             transcendentals=b * h * t_max,
         ),
         interpret=interpret,
-    )(jnp.reshape(pos.astype(jnp.int32), (1,)), qf, kf, vf)
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), qf, k, v)
     return out.reshape(b, h, 1, dh)

@@ -126,11 +126,14 @@ class TranscribePipeline:
                     beam_size=self.asr_options.get("beam_size", 1),
                     int8_cross_kv=self.asr_options.get("int8_cross_kv",
                                                        False),
-                    # fused Pallas decode-step attention: TPU default,
-                    # einsum path elsewhere (kernels need the Mosaic
-                    # compiler); override via asr_options for A/B runs
+                    # decode-step attention: the einsum path is the
+                    # measured default — XLA fuses q_len=1 attention well
+                    # and beats the Pallas decode kernels 1.5x at large-v3
+                    # batch 16 int8 (tools/bench_decode_step.py, v5e:
+                    # 10.6 vs 16.3 ms/step); flip via asr_options
+                    # {"fused_attention": True} for A/B runs
                     fused_attention=self.asr_options.get(
-                        "fused_attention", _on_tpu()),
+                        "fused_attention", False),
                 )
                 self._decoders[key] = BatchDecoder(
                     self.params, self.cfg, self.tokenizer, opts,
