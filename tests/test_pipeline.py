@@ -185,3 +185,28 @@ def test_baseline_config_harness_runs():
     row = mod.run_config(1, model_override="test")
     assert row["config"] == 1 and row["audio_sec"] == 30.0
     assert row["rtf"] > 0 and row["segments"] >= 0
+
+
+def test_asr_options_forward_every_decoding_field(tiny_pipeline):
+    """Every DecodingOptions field set in asr_options reaches the decoder.
+
+    Regression: the pipeline used to forward a hardcoded subset, silently
+    dropping suppress_blank / thresholds — undetectable until a decode
+    depended on one (the synth eval's char tokenizer needs the bare space
+    as its first generated token, which suppress_blank bans)."""
+    from manual_whisper_tpu.pipeline.transcribe import TranscribePipeline
+
+    pipe = TranscribePipeline(
+        tiny_pipeline.params, tiny_pipeline.cfg, tiny_pipeline.tokenizer,
+        asr_options={"suppress_blank": False, "suppress_non_speech": False,
+                     "no_speech_threshold": 0.9, "max_new_tokens": 12,
+                     "log_prob_threshold": None, "beam_size": 2,
+                     "not_a_decoding_option": 1},  # unknown keys ignored
+        language="zh")
+    dec = pipe._decoder("zh", (0.0,))
+    assert dec.opts.suppress_blank is False
+    assert dec.opts.suppress_non_speech is False
+    assert dec.opts.no_speech_threshold == 0.9
+    assert dec.opts.max_new_tokens == 12
+    assert dec.opts.log_prob_threshold is None
+    assert dec.opts.beam_size == 2

@@ -42,7 +42,8 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_platforms",
+                      "" if args.platform == "tpu" else args.platform)
 
     import numpy as np
 
@@ -64,9 +65,16 @@ def main() -> int:
         return 1
 
     cfg = MODEL_CONFIGS["test"]
+    # suppress_blank=False: OpenAI's first-step blank suppression bans the
+    # bare space token, but the char-level test tokenizer encodes every
+    # transcript as " word ..." — the space IS the correct first token, so
+    # the real-vocab-oriented default derails every window here (spurious
+    # first-char insertions).  Real BPE vocabs merge " w" into one token,
+    # where the default is correct and stays on.
     model = TranscribePipeline(params, cfg, make_test_tokenizer(),
                                asr_options={"max_new_tokens": 20,
-                                            "beam_size": args.beam},
+                                            "beam_size": args.beam,
+                                            "suppress_blank": False},
                                language="en")
 
     # -- WER/CER over held-out multi-utterance files -------------------------

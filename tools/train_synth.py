@@ -37,15 +37,22 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
-    # env JAX_PLATFORMS is pinned by the axon sitecustomize; config wins
-    jax.config.update("jax_platforms", args.platform)
+    # env JAX_PLATFORMS is pinned by the axon sitecustomize; config wins.
+    # "tpu" means auto-select (the chip registers under the axon plugin's
+    # own platform name, so naming it explicitly would miss it).
+    jax.config.update("jax_platforms",
+                      "" if args.platform == "tpu" else args.platform)
     import jax.numpy as jnp
     import numpy as np
     import optax
 
-    from manual_whisper_tpu.eval.synth import make_corpus
+    from manual_whisper_tpu.eval.synth import (render_file_with_times,
+                                               sample_text)
     from manual_whisper_tpu.models import MODEL_CONFIGS, init_params
+    from manual_whisper_tpu.models.vad import VoiceActivityDetector
     from manual_whisper_tpu.ops.mel import log_mel_spectrogram
+    from manual_whisper_tpu.pipeline.chunking import (merge_chunks,
+                                                      pad_audio_window)
     from manual_whisper_tpu.tokenizer import make_test_tokenizer
     from manual_whisper_tpu.training.train import (init_train_state,
                                                    make_train_step)
@@ -53,14 +60,42 @@ def main() -> int:
     cfg = MODEL_CONFIGS["test"]          # float32, d=64, 2+2 layers
     tk = make_test_tokenizer()
     window = cfg.n_audio_ctx * 2 * 160   # 1.2 s at 16 kHz
-    seq_len = 24
+    window_sec = window / 16000.0
+    seq_len = 28
     prefix = tk.sot_sequence(language="en", task="transcribe",
                              without_timestamps=True)
     p = len(prefix)
     eot = tk.special.eot
 
-    print(f"synth corpus: {args.n_train} utterances", flush=True)
-    corpus = make_corpus(args.n_train, seed=args.seed)
+    # Training windows come from the PRODUCT's own VAD + chunk merger run
+    # over multi-utterance files — the exact distribution inference sees
+    # (merged utterances, mid-window silence, VAD-trimmed onsets); the
+    # label for a window is the words whose midpoint falls inside it.
+    print(f"building ~{args.n_train} chunk windows via the product "
+          "VAD/chunker...", flush=True)
+    data_rng = np.random.default_rng(args.seed)
+    vad = VoiceActivityDetector()                   # energy fallback
+    corpus = []                                     # (window_audio, text)
+    file_i = 0
+    while len(corpus) < args.n_train:
+        utts = [sample_text(data_rng, 1, 3)
+                for _ in range(int(data_rng.integers(2, 5)))]
+        audio, words_t = render_file_with_times(
+            utts, seed=args.seed * 613 + file_i)
+        file_i += 1
+        regions = vad(audio)
+        for ch in merge_chunks(regions, window_sec):
+            # identical extraction to the pipeline's batch_chunks
+            clip = pad_audio_window(audio, ch.start, ch.end, window)
+            words = [w for w, s, e in words_t
+                     if ch.start <= (s + e) / 2 <= ch.end]
+            if not words:
+                continue
+            toks = prefix + tk.encode(" " + " ".join(words)) + [eot]
+            if len(toks) > seq_len:
+                continue
+            corpus.append((clip, " ".join(words)))
+    print(f"{len(corpus)} windows from {file_i} files", flush=True)
 
     rng = np.random.default_rng(args.seed)
 
@@ -70,11 +105,18 @@ def main() -> int:
         mask = np.zeros((len(idx), seq_len), np.float32)
         for row, j in enumerate(idx):
             wav, text = corpus[j]
-            onset = int(rng.integers(0, 1600))      # up to 100 ms shift
-            n = min(len(wav), window - onset)
-            audio[row, onset:onset + n] = wav[:n]
+            n = min(len(wav), window)
+            # augment: random gain + extra noise floor — the held-out eval
+            # files differ from training only in their noise realization,
+            # so an unaugmented model overfits the training noise and
+            # free-running decode stumbles on the first token of unseen
+            # windows (seen as spurious first-char insertions at eval)
+            gain = float(rng.uniform(0.4, 1.6))
+            extra = float(rng.uniform(0.0, 0.006))
+            aug = wav[:n] * gain + extra * rng.standard_normal(n).astype(
+                np.float32)
+            audio[row, :n] = aug
             toks = prefix + tk.encode(" " + text) + [eot]
-            assert len(toks) <= seq_len, (len(toks), text)
             tokens[row, :len(toks)] = toks
             mask[row, p:len(toks)] = 1.0            # text tokens + first EOT
         # inference ships int16 audio; train on the same quantization
