@@ -145,6 +145,13 @@ def _tokenize_chars(text: str, vocab: Dict[str, int]
 
 _w2v_logits_jit = jax.jit(wav2vec2_logits, static_argnames=("cfg",))
 _ALIGN_ROW_BUCKETS = (1, 2, 4, 8)   # rows per wav2vec2 dispatch
+# clip lengths pad to this ladder (seconds): a coarse ladder keeps the
+# number of distinct compiled programs at <= len(ladder) x 4 row buckets.
+# The previous 1 s steps compiled a fresh 20-40 s XLA program for nearly
+# every new segment length on an hour-long file — compile time, not
+# compute, dominated the align phase there (padding FLOPs are cheap on
+# the MXU by comparison).
+_ALIGN_LEN_BUCKETS_SEC = (2, 4, 8, 15, 30)
 
 
 def _row_bucket(n: int) -> int:
@@ -152,6 +159,13 @@ def _row_bucket(n: int) -> int:
         if n <= b:
             return b
     return _ALIGN_ROW_BUCKETS[-1]
+
+
+def _len_bucket(n_samples: int) -> int:
+    for sec in _ALIGN_LEN_BUCKETS_SEC:
+        if n_samples <= sec * SAMPLE_RATE:
+            return sec * SAMPLE_RATE
+    return _ALIGN_LEN_BUCKETS_SEC[-1] * SAMPLE_RATE
 
 
 def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
@@ -180,6 +194,9 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
         s_idx = int(s_start * SAMPLE_RATE)
         e_idx = min(int(s_end * SAMPLE_RATE), len(audio))
         clip = np.asarray(audio[s_idx:e_idx], np.float32)
+        # defensive cap at the largest length bucket (VAD windows are
+        # <= 30 s, but align() also accepts caller-provided segments)
+        clip = clip[: _ALIGN_LEN_BUCKETS_SEC[-1] * SAMPLE_RATE]
         n_frames = frames_for_samples(len(clip))
         labels: List[int] = []
         char_idx: List[int] = []
@@ -192,7 +209,7 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
         # to 1 s buckets so XLA compiles one program per bucket instead of
         # one per unique segment length
         norm = (clip - clip.mean()) / np.sqrt(clip.var() + 1e-7)
-        bucket = max(SAMPLE_RATE, -(-len(norm) // SAMPLE_RATE) * SAMPLE_RATE)
+        bucket = _len_bucket(len(norm))
         padded = np.zeros(bucket, np.float32)
         padded[: len(norm)] = norm
         groups.setdefault(bucket, []).append(len(prep))

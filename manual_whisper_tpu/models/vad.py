@@ -384,16 +384,25 @@ def binarize(probs: np.ndarray, frame_duration: float,
 
 def load_segmentation_params(name: str = "pyannote-segmentation-3.0"
                              ) -> Optional[Dict]:
-    """Converted pyannote segmentation weights from the registry
-    ($MWX_WEIGHTS_DIR/<name>/pytorch_model.bin), or None.
+    """Segmentation weights from the registry, or None.
 
-    The reference fetches the same gated checkpoint through the HF hub
-    with a token (.env.example:4-5)."""
+    Two on-disk forms under $MWX_WEIGHTS_DIR/<name>/:
+    - ``jax/`` — an orbax checkpoint already in this module's layout
+      (e.g. trained by tools/train_synth_vad.py); preferred, torch-free.
+    - ``pytorch_model.bin`` — a pyannote torch state dict, converted on
+      load.  The reference fetches the same gated checkpoint through the
+      HF hub with a token (.env.example:4-5)."""
     from .. import config as _config
     root = _config.get_env("MWX_WEIGHTS_DIR")
     if not root:
         return None
     from pathlib import Path
+    jax_path = Path(root) / name / "jax"
+    if jax_path.exists():
+        from ..convert.from_hf import load_params as _load
+        params = _load(jax_path)
+        if params is not None:
+            return params
     path = Path(root) / name / "pytorch_model.bin"
     if not path.exists():
         return None

@@ -211,3 +211,35 @@ def test_load_model_warns_on_energy_fallback(monkeypatch):
     msgs = [str(w.message) for w in caught
             if issubclass(w.category, RuntimeWarning)]
     assert not any("energy" in m for m in msgs), msgs
+
+
+def test_load_segmentation_params_jax_registry(tmp_path, monkeypatch):
+    """A JAX orbax checkpoint under $MWX_WEIGHTS_DIR/<name>/jax loads
+    without torch (the form tools/train_synth_vad.py writes); the pipeline
+    then runs PyanNet VAD instead of the energy fallback."""
+    import jax
+    import numpy as np
+    from manual_whisper_tpu.convert.from_hf import save_params
+    from manual_whisper_tpu.models.vad import (PyanNetConfig,
+                                               VoiceActivityDetector,
+                                               init_pyannet_params,
+                                               load_segmentation_params)
+
+    params = init_pyannet_params(jax.random.PRNGKey(0))
+    out = tmp_path / "pyannote-segmentation-3.0" / "jax"
+    save_params(jax.device_get(params), out)
+
+    monkeypatch.setenv("MWX_WEIGHTS_DIR", str(tmp_path))
+    loaded = load_segmentation_params()
+    assert loaded is not None
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(loaded)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # and the detector actually runs PyanNet with them (1 s of audio)
+    vad = VoiceActivityDetector(loaded, PyanNetConfig())
+    probs, frame_dur = vad.speech_probs(
+        np.random.default_rng(0).standard_normal(16000).astype(np.float32))
+    assert probs.ndim == 1 and len(probs) > 0 and frame_dur > 0

@@ -71,11 +71,25 @@ def main() -> int:
     # the real-vocab-oriented default derails every window here (spurious
     # first-char insertions).  Real BPE vocabs merge " w" into one token,
     # where the default is correct and stays on.
+    # same VAD wiring as load_model: trained segmentation weights from the
+    # registry upgrade the energy fallback when present
+    # (tools/train_synth_vad.py writes them under MWX_WEIGHTS_DIR)
+    vad = None
+    try:
+        from manual_whisper_tpu.models.vad import (VoiceActivityDetector,
+                                                   load_segmentation_params)
+        seg = load_segmentation_params()
+        if seg is not None:
+            vad = VoiceActivityDetector(seg)
+            print("VAD: trained segmentation checkpoint", file=sys.stderr)
+    except Exception as exc:
+        print(f"VAD registry load failed ({exc}); energy fallback",
+              file=sys.stderr)
     model = TranscribePipeline(params, cfg, make_test_tokenizer(),
                                asr_options={"max_new_tokens": 20,
                                             "beam_size": args.beam,
                                             "suppress_blank": False},
-                               language="en")
+                               language="en", vad=vad)
 
     # -- WER/CER over held-out multi-utterance files -------------------------
     rng = np.random.default_rng(args.seed)
@@ -125,14 +139,17 @@ def main() -> int:
         "mean_wer": round(wer_sum / max(args.files, 1), 4),
         "mean_cer": round(cer_sum / max(args.files, 1), 4),
         "corpus_rtf": round(total_audio / max(total_wall, 1e-9), 2),
+        "vad": "trained segmentation" if vad is not None else "energy",
         "der": {"convos": len(ders),
                 "mean_der": round(sum(ders) / len(ders), 4) if ders
                 else None,
-                "note": "diarization runs segmentation+embedding with "
-                        "randomly-initialized weights when no converted "
-                        "pyannote/wespeaker checkpoint is present; DER "
-                        "then measures the clustering pipeline on "
-                        "random-projection embeddings"},
+                "note": ("segmentation: trained synth checkpoint "
+                         "(tools/train_synth_vad.py); " if vad is not None
+                         else "segmentation: randomly initialized; ")
+                        + "speaker embeddings remain randomly initialized "
+                        "when no converted wespeaker checkpoint is present "
+                        "(the conversation fixture's separable registers "
+                        "make random-projection embeddings clusterable)"},
         "worst": sorted(rows, key=lambda r: -r["wer"])[:3],
     }
     Path(args.out).write_text(json.dumps(summary, indent=2,

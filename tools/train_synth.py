@@ -74,27 +74,80 @@ def main() -> int:
     print(f"building ~{args.n_train} chunk windows via the product "
           "VAD/chunker...", flush=True)
     data_rng = np.random.default_rng(args.seed)
-    vad = VoiceActivityDetector()                   # energy fallback
+    # the SAME VAD inference will use: trained segmentation from the
+    # registry when present (tools/train_synth_vad.py), else energy.
+    # Training windows must come from the deployed VAD or its boundary
+    # shifts show up as word doublings/drops at eval time.
+    from manual_whisper_tpu.models.vad import load_segmentation_params
+    try:
+        seg = load_segmentation_params()
+    except Exception:
+        seg = None
+    vad = VoiceActivityDetector(seg)
+    print(f"VAD: {'trained segmentation' if seg is not None else 'energy'}",
+          flush=True)
+    def file_regions(files):
+        """VAD a batch of files with ONE device dispatch per 64 windows.
+
+        The per-file path (vad(audio)) dispatches a PyanNet forward per
+        file; over a remote chip those round-trips make corpus building
+        hours long.  Same probs, same binarize — just batched."""
+        if vad.params is None:
+            return [vad(a) for a in files]
+        from manual_whisper_tpu.models.vad import (VadOptions, binarize,
+                                                   powerset_to_speech_prob,
+                                                   pyannet_forward)
+        vwin = int(vad.cfg.window_sec * 16000)
+        rows, meta = [], []
+        for a in files:
+            n_win = max(1, -(-len(a) // vwin))
+            padded = np.zeros(n_win * vwin, np.float32)
+            padded[: len(a)] = a
+            meta.append((len(rows), n_win, len(a)))
+            rows.extend(padded.reshape(n_win, vwin))
+        cap = 64
+        probs = []
+        for lo in range(0, len(rows), cap):
+            chunk = np.zeros((cap, vwin), np.float32)
+            n = min(cap, len(rows) - lo)
+            chunk[:n] = np.stack(rows[lo: lo + n])
+            lp = pyannet_forward(vad.params, jnp.asarray(chunk), vad.cfg)
+            probs.extend(np.asarray(powerset_to_speech_prob(lp))[:n])
+        out = []
+        for start, n_win, n_samples in meta:
+            flat = np.concatenate(probs[start: start + n_win])
+            frame_dur = vad.cfg.window_sec / probs[0].shape[0]
+            valid = int(np.ceil(n_samples / 16000 / frame_dur))
+            dur = n_samples / 16000.0
+            out.append([(max(0.0, s), min(dur, e)) for s, e in
+                        binarize(flat[:valid], frame_dur, VadOptions())])
+        return out
+
     corpus = []                                     # (window_audio, text)
     file_i = 0
     while len(corpus) < args.n_train:
-        utts = [sample_text(data_rng, 1, 3)
-                for _ in range(int(data_rng.integers(2, 5)))]
-        audio, words_t = render_file_with_times(
-            utts, seed=args.seed * 613 + file_i)
-        file_i += 1
-        regions = vad(audio)
-        for ch in merge_chunks(regions, window_sec):
-            # identical extraction to the pipeline's batch_chunks
-            clip = pad_audio_window(audio, ch.start, ch.end, window)
-            words = [w for w, s, e in words_t
-                     if ch.start <= (s + e) / 2 <= ch.end]
-            if not words:
-                continue
-            toks = prefix + tk.encode(" " + " ".join(words)) + [eot]
-            if len(toks) > seq_len:
-                continue
-            corpus.append((clip, " ".join(words)))
+        batch_files, batch_words = [], []
+        for _ in range(128):
+            utts = [sample_text(data_rng, 1, 3)
+                    for _ in range(int(data_rng.integers(2, 5)))]
+            audio, words_t = render_file_with_times(
+                utts, seed=args.seed * 613 + file_i)
+            file_i += 1
+            batch_files.append(audio)
+            batch_words.append(words_t)
+        for audio, words_t, regions in zip(batch_files, batch_words,
+                                           file_regions(batch_files)):
+            for ch in merge_chunks(regions, window_sec):
+                # identical extraction to the pipeline's batch_chunks
+                clip = pad_audio_window(audio, ch.start, ch.end, window)
+                words = [w for w, s, e in words_t
+                         if ch.start <= (s + e) / 2 <= ch.end]
+                if not words:
+                    continue
+                toks = prefix + tk.encode(" " + " ".join(words)) + [eot]
+                if len(toks) > seq_len:
+                    continue
+                corpus.append((clip, " ".join(words)))
     print(f"{len(corpus)} windows from {file_i} files", flush=True)
 
     rng = np.random.default_rng(args.seed)

@@ -1,0 +1,179 @@
+#!/usr/bin/env python3
+"""Train the PyanNet segmentation model on the synthetic corpus.
+
+Gives the VAD/diarization stack REAL (trained) weights in this hub-less
+environment: the pipeline's energy-VAD fallback and the random-weight
+DER caveat in EVAL_r{N}.json both exist only because no segmentation
+checkpoint is present (reference behavior is defined by the gated
+pyannote/segmentation-3.0 download, /root/reference/transcribe.py:43-46,
+.env.example:4-5).  After this run, `load_segmentation_params()` finds
+the checkpoint under $MWX_WEIGHTS_DIR/pyannote-segmentation-3.0/jax and
+both `TranscribePipeline` (VAD) and `DiarizationPipeline` (local
+activities) use the trained PyanNet instead of fallbacks.
+
+Labels are exact: the synthetic fixtures expose word/turn times, so each
+output frame gets its true powerset class (silence / spk0 / spk1 /
+overlap) — no forced alignment needed.
+
+Usage: python tools/train_synth_vad.py [--steps 1200] [--batch 8]
+       [--out .weights/pyannote-segmentation-3.0/jax]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _spans_from_words(words_t, max_gap: float = 0.2):
+    """[(word, s, e)] -> merged speech spans (fill intra-utterance gaps)."""
+    spans = []
+    for _, s, e in words_t:
+        if spans and s - spans[-1][1] <= max_gap:
+            spans[-1][1] = e
+        else:
+            spans.append([s, e])
+    return [tuple(sp) for sp in spans]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--n-windows", type=int, default=1024)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--out", default=".weights/pyannote-segmentation-3.0/jax")
+    ap.add_argument("--platform", default="tpu", help="tpu (auto) or cpu")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms",
+                      "" if args.platform == "tpu" else args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from manual_whisper_tpu.eval.synth import (SAMPLE_RATE,
+                                               render_conversation,
+                                               render_file_with_times,
+                                               sample_text)
+    from manual_whisper_tpu.models.vad import (POWERSET_CLASSES,
+                                               PyanNetConfig,
+                                               init_pyannet_params,
+                                               pyannet_forward)
+
+    cfg = PyanNetConfig()
+    window = int(cfg.window_sec * SAMPLE_RATE)
+    params = init_pyannet_params(jax.random.PRNGKey(args.seed), cfg)
+
+    # output frame count + frame->time mapping from one real forward
+    n_frames = int(pyannet_forward(
+        params, jnp.zeros((1, window), jnp.float32), cfg).shape[1])
+    frame_t = (np.arange(n_frames) + 0.5) * (cfg.window_sec / n_frames)
+    cls_of = {spk: i for i, spk in enumerate(POWERSET_CLASSES)}
+
+    def frame_labels(speaker_spans, offset: float) -> np.ndarray:
+        """speaker_spans: {spk_idx: [(s, e), ...]} in file time; frames of
+        the window starting at `offset` -> powerset class ids."""
+        active = np.zeros((n_frames, 3), bool)
+        for spk, spans in speaker_spans.items():
+            for s, e in spans:
+                active[:, spk] |= ((frame_t + offset >= s)
+                                   & (frame_t + offset < e))
+        out = np.zeros(n_frames, np.int32)
+        for f in range(n_frames):
+            spks = tuple(np.nonzero(active[f])[0][:2])
+            out[f] = cls_of.get(spks, 0)
+        return out
+
+    print(f"{n_frames} frames/window; building {args.n_windows} windows...",
+          flush=True)
+    rng = np.random.default_rng(args.seed)
+    xs, ys = [], []
+    i = 0
+    while len(xs) < args.n_windows:
+        i += 1
+        if i % 2:  # two-speaker conversation
+            audio, turns = render_conversation(n_turns=8,
+                                               seed=args.seed * 7919 + i)
+            # window-local speaker index = order of appearance
+            spans = {}
+            order = {}
+            for t in turns:
+                idx = order.setdefault(t.speaker, len(order))
+                spans.setdefault(idx, []).append((t.start, t.end))
+        else:      # single speaker, multi-utterance file
+            utts = [sample_text(rng, 1, 3)
+                    for _ in range(int(rng.integers(3, 7)))]
+            audio, words_t = render_file_with_times(
+                utts, seed=args.seed * 104729 + i)
+            spans = {0: _spans_from_words(words_t)}
+        for off in np.arange(0.0, max(len(audio) / SAMPLE_RATE - 1.0, 0.5),
+                             cfg.window_sec * 0.75):
+            s = int(off * SAMPLE_RATE)
+            clip = np.zeros(window, np.float32)
+            seg = audio[s: s + window]
+            clip[: len(seg)] = seg
+            xs.append(clip)
+            ys.append(frame_labels(spans, off))
+            if len(xs) >= args.n_windows:
+                break
+    xs = np.stack(xs)
+    ys = np.stack(ys)
+    frac = [float((ys == c).mean()) for c in range(cfg.n_classes)]
+    print(f"class fractions: {[round(f, 3) for f in frac]}", flush=True)
+
+    warmup = min(50, max(1, args.steps // 10))
+    optimizer = optax.adamw(
+        optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, warmup_steps=warmup,
+            decay_steps=max(args.steps, warmup + 1)),
+        weight_decay=1e-4)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, audio, labels, gain, noise_key):
+        # light augmentation mirrors tools/train_synth.py
+        audio = audio * gain[:, None] + 0.002 * jax.random.normal(
+            noise_key, audio.shape)
+
+        def loss_fn(p):
+            logp = pyannet_forward(p, audio, cfg)
+            nll = -jnp.take_along_axis(logp, labels[..., None],
+                                       axis=-1)[..., 0]
+            return nll.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    for step in range(args.steps):
+        idx = rng.integers(0, len(xs), args.batch)
+        key, k1, k2 = jax.random.split(key, 3)
+        gain = jax.random.uniform(k1, (args.batch,), jnp.float32, 0.4, 1.6)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(xs[idx]), jnp.asarray(ys[idx]),
+            gain, k2)
+        if step % 100 == 0 or step == args.steps - 1:
+            print(f"step {step:5d}  loss {float(loss):.4f}  "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    # frame accuracy on fresh windows (quick sanity, not the real eval)
+    logp = pyannet_forward(params, jnp.asarray(xs[:64]), cfg)
+    acc = float((np.argmax(np.asarray(logp), -1) == ys[:64]).mean())
+    print(f"train-window frame accuracy: {acc:.4f}")
+
+    out = Path(args.out).resolve()
+    from manual_whisper_tpu.convert.from_hf import save_params
+    save_params(jax.device_get(params), out)
+    print(f"saved segmentation checkpoint to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
