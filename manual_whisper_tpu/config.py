@@ -151,6 +151,17 @@ def get_float(name: str, default: float) -> float:
         return default
 
 
+def weights_dir() -> Optional[str]:
+    """Checkpoint registry root: $MWX_WEIGHTS_DIR, else the repo-local
+    `.weights/` directory when it exists (where the tools/train_synth_*
+    trainers save — keeps evals/benches runnable with zero env setup)."""
+    root = get_env("MWX_WEIGHTS_DIR")
+    if root:
+        return root
+    local = Path(__file__).resolve().parent.parent / ".weights"
+    return str(local) if local.is_dir() else None
+
+
 def parse_replacement_map_from_json(raw) -> Dict[str, str]:
     """TERM_REPLACEMENTS_JSON parsing (reference: processor.js:340-354)."""
     if not isinstance(raw, str) or not raw.strip():

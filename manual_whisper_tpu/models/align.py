@@ -317,7 +317,7 @@ def load_align_model(language_code: str, device: Optional[str] = None,
     name = model_name or DEFAULT_ALIGN_MODELS.get(language_code)
     if name is None:
         raise KeyError(f"no default alignment model for {language_code!r}")
-    root = config.get_env("MWX_WEIGHTS_DIR")
+    root = config.weights_dir()
     path = Path(root) / name.replace("/", "--") if root else None
     if path is None or not (path / "config.json").exists():
         if config.get_bool("MWX_ALLOW_RANDOM_WEIGHTS", False):

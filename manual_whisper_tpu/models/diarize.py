@@ -218,7 +218,7 @@ def load_embedding_params(name: str = "wespeaker-voxceleb-resnet34-LM",
     """Converted speaker-embedding weights from the registry
     ($MWX_WEIGHTS_DIR/<name>/pytorch_model.bin), or None."""
     from .. import config as _config
-    root = _config.get_env("MWX_WEIGHTS_DIR")
+    root = _config.weights_dir()
     if not root:
         return None
     from pathlib import Path

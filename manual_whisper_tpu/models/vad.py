@@ -393,7 +393,7 @@ def load_segmentation_params(name: str = "pyannote-segmentation-3.0"
       load.  The reference fetches the same gated checkpoint through the
       HF hub with a token (.env.example:4-5)."""
     from .. import config as _config
-    root = _config.get_env("MWX_WEIGHTS_DIR")
+    root = _config.weights_dir()
     if not root:
         return None
     from pathlib import Path

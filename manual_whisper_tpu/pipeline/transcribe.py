@@ -351,7 +351,7 @@ def _find_weights_dir(name: str) -> Optional[Path]:
 
     The reference's equivalent is the HF hub cache that
     whisperx.load_model populates (README.md:94-95)."""
-    root = config.get_env("MWX_WEIGHTS_DIR")
+    root = config.weights_dir()
     if root:
         cand = Path(root) / name
         if (cand / "config.json").exists():

@@ -191,12 +191,14 @@ def test_energy_vs_pyannet_drift_measured():
     assert 0.0 <= report["overlap"]["frame_agreement"] <= 1.0
 
 
-def test_load_model_warns_on_energy_fallback(monkeypatch):
+def test_load_model_warns_on_energy_fallback(monkeypatch, tmp_path):
     """Silent energy-VAD fallback is no longer silent (the reference's
     boundaries come from pyannote segmentation, transcribe.py:43-46)."""
     import warnings
     from manual_whisper_tpu.pipeline import load_model
-    monkeypatch.delenv("MWX_WEIGHTS_DIR", raising=False)
+    # an empty registry: the repo-local .weights default may carry a
+    # trained segmentation checkpoint (tools/train_synth_vad.py)
+    monkeypatch.setenv("MWX_WEIGHTS_DIR", str(tmp_path))
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         load_model("test", language="zh")
