@@ -215,13 +215,23 @@ def convert_wespeaker_resnet(state_dict, cfg: EmbeddingConfig
 def load_embedding_params(name: str = "wespeaker-voxceleb-resnet34-LM",
                           cfg: Optional[EmbeddingConfig] = None
                           ) -> Optional[Dict[str, Any]]:
-    """Converted speaker-embedding weights from the registry
-    ($MWX_WEIGHTS_DIR/<name>/pytorch_model.bin), or None."""
+    """Speaker-embedding weights from the registry, or None.
+
+    Prefers an orbax checkpoint at <name>/jax (this module's layout,
+    e.g. trained by tools/train_synth_embed.py — torch-free); falls back
+    to converting a wespeaker torch state dict at <name>/pytorch_model.bin
+    (the checkpoint pyannote 3.1 downloads, README.md:58-59)."""
     from .. import config as _config
     root = _config.weights_dir()
     if not root:
         return None
     from pathlib import Path
+    jax_path = Path(root) / name / "jax"
+    if jax_path.exists():
+        from ..convert.from_hf import load_params as _load
+        params = _load(jax_path)
+        if params is not None:
+            return params
     path = Path(root) / name / "pytorch_model.bin"
     if not path.exists():
         return None

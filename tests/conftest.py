@@ -24,3 +24,17 @@ def _clear_env_cache():
     config.clear_env_cache()
     yield
     config.clear_env_cache()
+
+
+@pytest.fixture(autouse=True)
+def _hermetic_weights_registry(tmp_path_factory, monkeypatch):
+    """Pin the checkpoint registry to an empty dir for every test.
+
+    config.weights_dir() falls back to the repo-local .weights/ (which
+    carries trained synth checkpoints); tests must not change behavior
+    based on that repo state — the trained PyanNet VAD, for example,
+    rejects the plain-sine fixtures as non-speech.  Tests that exercise
+    the registry set MWX_WEIGHTS_DIR themselves (overrides this).
+    Subprocess tests inherit the env automatically."""
+    monkeypatch.setenv("MWX_WEIGHTS_DIR",
+                       str(tmp_path_factory.mktemp("empty_weights")))

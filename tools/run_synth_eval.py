@@ -130,6 +130,20 @@ def main() -> int:
     except Exception as exc:  # diarization must not sink the ASR numbers
         print(f"diarization eval failed: {exc}", file=sys.stderr)
 
+    try:
+        from manual_whisper_tpu.models.diarize import load_embedding_params
+        emb_trained = load_embedding_params() is not None
+    except Exception:
+        emb_trained = False
+    der_note = (
+        ("segmentation: trained synth checkpoint "
+         "(tools/train_synth_vad.py); " if vad is not None
+         else "segmentation: randomly initialized; ")
+        + ("speaker embeddings: trained synth checkpoint "
+           "(tools/train_synth_embed.py)" if emb_trained
+           else "speaker embeddings: randomly initialized (the "
+           "conversation fixture's separable registers keep "
+           "random-projection embeddings clusterable)"))
     summary = {
         "task": "synthetic tone-language, full pipeline "
                 "(VAD->chunk->mel->encode->decode->cleanup)",
@@ -143,13 +157,7 @@ def main() -> int:
         "der": {"convos": len(ders),
                 "mean_der": round(sum(ders) / len(ders), 4) if ders
                 else None,
-                "note": ("segmentation: trained synth checkpoint "
-                         "(tools/train_synth_vad.py); " if vad is not None
-                         else "segmentation: randomly initialized; ")
-                        + "speaker embeddings remain randomly initialized "
-                        "when no converted wespeaker checkpoint is present "
-                        "(the conversation fixture's separable registers "
-                        "make random-projection embeddings clusterable)"},
+                "note": der_note},
         "worst": sorted(rows, key=lambda r: -r["wer"])[:3],
     }
     Path(args.out).write_text(json.dumps(summary, indent=2,
