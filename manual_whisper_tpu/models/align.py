@@ -144,7 +144,11 @@ def _tokenize_chars(text: str, vocab: Dict[str, int]
 
 
 _w2v_logits_jit = jax.jit(wav2vec2_logits, static_argnames=("cfg",))
-_ALIGN_ROW_BUCKETS = (1, 2, 4, 8)   # rows per wav2vec2 dispatch
+# one fixed row count per wav2vec2 dispatch: together with the coarse
+# length ladder below this caps the number of compiled programs at
+# len(_ALIGN_LEN_BUCKETS_SEC) for the whole process (padding rows are
+# cheap on-device; a fresh 20-40 s XLA compile mid-run is not)
+_ALIGN_ROW_BUCKETS = (8,)
 # clip lengths pad to this ladder (seconds): a coarse ladder keeps the
 # number of distinct compiled programs at <= len(ladder) x 4 row buckets.
 # The previous 1 s steps compiled a fresh 20-40 s XLA program for nearly

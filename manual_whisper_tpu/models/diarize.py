@@ -422,15 +422,49 @@ class DiarizationPipeline:
         self.step_sec = step_sec
         self.threshold = threshold
 
+    # _embed pads clips to this ladder (seconds): embed_forward jits per
+    # mel length, and the masked active-speaker clips have near-unique
+    # lengths — unbucketed, an hour of audio compiles the ResNet hundreds
+    # of times (multi-minute each) instead of <= 5 shapes total
+    _EMBED_LEN_BUCKETS_SEC = (0.5, 1.0, 2.0, 4.0, 10.0)
+
+    _EMBED_ROW_CHUNK = 32  # rows per bucketed embed dispatch (fixed shape)
+
+    def _len_bucket_samples(self, n: int) -> int:
+        for sec in self._EMBED_LEN_BUCKETS_SEC:
+            if n <= int(sec * SAMPLE_RATE):
+                return int(sec * SAMPLE_RATE)
+        return int(self._EMBED_LEN_BUCKETS_SEC[-1] * SAMPLE_RATE)
+
     def _embed(self, clip: np.ndarray) -> np.ndarray:
+        return self._embed_clips([clip])[0]
+
+    def _embed_clips(self, clips) -> np.ndarray:
+        """Variable-length clips -> [N, D] embeddings.
+
+        Groups clips by length bucket and embeds each group in fixed
+        _EMBED_ROW_CHUNK-row device batches: at most
+        len(_EMBED_LEN_BUCKETS_SEC) compiled programs total, and ~N/32
+        dispatches instead of N."""
         if self.embedding_params is None:
-            return spectral_stats_embedding(clip)
-        if len(clip) < 400:
-            clip = np.pad(clip, (0, 400 - len(clip)))
-        # [1, T_frames, n_mels] log-mel straight into the ResNet
-        mel = unnormalized_log_mel(clip[None], self.embedding_cfg.n_mels)
-        emb = embed_forward(self.embedding_params, mel, self.embedding_cfg)
-        return np.asarray(emb)[0]
+            return np.stack([spectral_stats_embedding(c) for c in clips])
+        out = [None] * len(clips)
+        groups: Dict[int, List[int]] = {}
+        for i, c in enumerate(clips):
+            groups.setdefault(self._len_bucket_samples(len(c)), []).append(i)
+        for bucket, idxs in groups.items():
+            for lo in range(0, len(idxs), self._EMBED_ROW_CHUNK):
+                sel = idxs[lo: lo + self._EMBED_ROW_CHUNK]
+                rows = np.zeros((self._EMBED_ROW_CHUNK, bucket), np.float32)
+                for r, i in enumerate(sel):
+                    c = clips[i][:bucket]
+                    rows[r, : len(c)] = c
+                mel = unnormalized_log_mel(rows, self.embedding_cfg.n_mels)
+                emb = np.asarray(embed_forward(
+                    self.embedding_params, mel, self.embedding_cfg))
+                for r, i in enumerate(sel):
+                    out[i] = emb[r]
+        return np.stack(out)
 
     def _embed_windows(self, audio: np.ndarray,
                        windows: List[Tuple[float, float]]) -> np.ndarray:
@@ -475,8 +509,8 @@ class DiarizationPipeline:
         speakers to global labels; frame-level activities are stitched
         across windows and re-binarised per global speaker (supports
         overlapping speech)."""
-        from .vad import (powerset_to_speaker_probs, pyannet_forward,
-                          binarize, VadOptions)
+        from .vad import (powerset_to_speaker_probs,
+                          pyannet_forward_chunked, binarize, VadOptions)
 
         seg_cfg = self.vad.cfg
         window = int(seg_cfg.window_sec * SAMPLE_RATE)
@@ -488,14 +522,17 @@ class DiarizationPipeline:
             clip = audio[s: s + window]
             batch[i, : len(clip)] = clip
 
-        log_probs = pyannet_forward(self.vad.params, jnp.asarray(batch),
-                                    seg_cfg)
-        spk = powerset_to_speaker_probs(np.asarray(log_probs))  # [W,F,3]
+        log_probs = pyannet_forward_chunked(self.vad.params, batch, seg_cfg)
+        spk = powerset_to_speaker_probs(log_probs)              # [W,F,3]
         n_frames = spk.shape[1]
         frame_dur = seg_cfg.window_sec / n_frames
 
-        # embeddings for active local speakers
-        entries = []  # (window_idx, local_spk, embedding)
+        # active-speaker clips first, embeddings second in bucketed device
+        # batches: per-entry _embed dispatches cost a host->device round
+        # trip each (an hour of audio has ~500 entries; over a remote chip
+        # that alone is minutes of latency)
+        keys = []   # (window_idx, local_spk)
+        clips = []
         for wi, s in enumerate(starts):
             clip = batch[wi]
             for ls in range(spk.shape[2]):
@@ -507,9 +544,12 @@ class DiarizationPipeline:
                 active_audio = clip[mask]
                 if len(active_audio) < SAMPLE_RATE // 4:
                     continue
-                entries.append((wi, ls, self._embed(active_audio)))
-        if not entries:
+                keys.append((wi, ls))
+                clips.append(active_audio)
+        if not keys:
             return []
+        entries = [(wi, ls, emb) for (wi, ls), emb in
+                   zip(keys, self._embed_clips(clips))]
 
         embs = np.stack([e[2] for e in entries])
         if len(embs) > 1:

@@ -269,6 +269,32 @@ def powerset_to_speaker_probs(log_probs: np.ndarray) -> np.ndarray:
     return np.clip(out, 0.0, 1.0)
 
 
+PYANNET_CHUNK = 16  # windows per device dispatch (the ONE compiled shape)
+
+
+def pyannet_forward_chunked(params: Dict, rows: np.ndarray,
+                            cfg: PyanNetConfig = PyanNetConfig()
+                            ) -> np.ndarray:
+    """[N, window] audio rows -> [N, frames, n_classes] log-probs, always
+    through the fixed [PYANNET_CHUNK, window] program.
+
+    pyannet_forward jits per batch shape, and the BiLSTM's 8 lax.scans
+    make each new shape a multi-minute XLA compile; dispatching a
+    variable-size batch per call (one hour of audio = 360 windows) billed
+    that compile to every new audio length.  Padding to one fixed chunk
+    shape compiles once per process and amortises across all callers
+    (VAD speech_probs, diarization sliding windows, warmup)."""
+    n = len(rows)
+    out: List[np.ndarray] = []
+    for lo in range(0, n, PYANNET_CHUNK):
+        chunk = np.zeros((PYANNET_CHUNK, rows.shape[1]), np.float32)
+        m = min(PYANNET_CHUNK, n - lo)
+        chunk[:m] = rows[lo: lo + m]
+        lp = pyannet_forward(params, jnp.asarray(chunk), cfg)
+        out.append(np.asarray(lp)[:m])
+    return np.concatenate(out, axis=0)
+
+
 def convert_pyannote_segmentation(state_dict) -> Dict:
     """pyannote/segmentation-3.0 torch state_dict -> our param pytree."""
     def npy(t):
@@ -433,8 +459,8 @@ class VoiceActivityDetector:
         padded = np.zeros(n_windows * window, np.float32)
         padded[:n] = audio
         batch = padded.reshape(n_windows, window)
-        log_probs = pyannet_forward(self.params, jnp.asarray(batch), self.cfg)
-        speech = np.asarray(powerset_to_speech_prob(log_probs))
+        log_probs = pyannet_forward_chunked(self.params, batch, self.cfg)
+        speech = np.asarray(powerset_to_speech_prob(jnp.asarray(log_probs)))
         flat = speech.reshape(-1)
         frames_per_win = speech.shape[1]
         frame_dur = self.cfg.window_sec / frames_per_win

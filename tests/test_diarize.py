@@ -231,3 +231,37 @@ def test_batched_window_embeddings_match_single():
             assert cos > 0.9999, (i, cos)
         else:
             assert cos > 0.99, (i, cos)
+
+
+def test_load_embedding_params_jax_registry(tmp_path, monkeypatch):
+    """An orbax checkpoint under $MWX_WEIGHTS_DIR/<name>/jax loads
+    torch-free (the form tools/train_synth_embed.py writes) and drives
+    embed_forward."""
+    import jax
+    import numpy as np
+    from manual_whisper_tpu.convert.from_hf import save_params
+    from manual_whisper_tpu.models.diarize import (EmbeddingConfig,
+                                                   embed_forward,
+                                                   init_embedding_params,
+                                                   load_embedding_params)
+    from manual_whisper_tpu.ops.mel import unnormalized_log_mel
+
+    cfg = EmbeddingConfig.tiny_test()
+    params = init_embedding_params(jax.random.PRNGKey(0), cfg)
+    out = tmp_path / "wespeaker-voxceleb-resnet34-LM" / "jax"
+    save_params(jax.device_get(params), out)
+
+    monkeypatch.setenv("MWX_WEIGHTS_DIR", str(tmp_path))
+    loaded = load_embedding_params(cfg=cfg)
+    assert loaded is not None
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(loaded)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    clip = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    mel = unnormalized_log_mel(clip[None], cfg.n_mels)
+    emb = np.asarray(embed_forward(loaded, mel, cfg))
+    assert emb.shape == (1, cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-4)

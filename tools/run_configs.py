@@ -84,16 +84,21 @@ def run_config(n: int, model_override=None) -> dict:
             from manual_whisper_tpu.models.align import (align_result,
                                                          load_align_model)
             align_model = load_align_model("zh")
+            # a near-30 s warmup segment compiles the [8-row, 30 s]
+            # wav2vec2 program the real run's VAD chunks hit; a tiny one
+            # would bill that compile to the timed region
             align_result({"segments": [
-                {"text": "预热", "start": 0.0, "end": 1.0}]},
-                audio[: 16000 * 10], "zh", model=align_model)
+                {"text": "预热", "start": 0.0, "end": 29.0}]},
+                audio[: 16000 * 30], "zh", model=align_model)
         except Exception as exc:
             notes.append(f"alignment unavailable: {exc}")
     if spec["diarize"]:
         try:
             from manual_whisper_tpu.models.diarize import DiarizationPipeline
             diarizer = DiarizationPipeline()
-            diarizer(audio[: 16000 * 10])
+            # ~90 s with real turns touches the PyanNet chunk program and
+            # the common embedding length buckets before timing starts
+            diarizer(audio[: 16000 * 90])
         except Exception as exc:
             notes.append(f"diarization unavailable: {exc}")
 
