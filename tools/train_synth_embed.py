@@ -139,6 +139,11 @@ def main() -> int:
     out = Path(args.out).resolve()
     from manual_whisper_tpu.convert.from_hf import save_params
     save_params(jax.device_get(trainable["model"]), out)
+    from manual_whisper_tpu import config as _config
+    _config.write_synth_marker(
+        out.parent, f"tools/train_synth_embed.py --steps {args.steps} "
+        f"--voices {args.voices} --seed {args.seed} "
+        f"(train acc {float(acc):.3f})")
     print(f"saved embedding checkpoint to {out}")
     return 0
 

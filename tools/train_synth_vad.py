@@ -171,6 +171,10 @@ def main() -> int:
     out = Path(args.out).resolve()
     from manual_whisper_tpu.convert.from_hf import save_params
     save_params(jax.device_get(params), out)
+    from manual_whisper_tpu import config as _config
+    _config.write_synth_marker(
+        out.parent, f"tools/train_synth_vad.py --steps {args.steps} "
+        f"--seed {args.seed} (frame accuracy {acc:.4f})")
     print(f"saved segmentation checkpoint to {out}")
     return 0
 
