@@ -23,6 +23,36 @@ from .resample import resample_poly, to_mono
 
 SAMPLE_RATE = 16000  # WhisperX fixed rate (reference: transcribe.py:118)
 
+# containers ffmpeg decodes for the reference (README.md:90, main.js:106)
+FFMPEG_SUFFIXES = (".m4a", ".mp3", ".flac", ".ogg", ".aac", ".wma",
+                   ".webm", ".mp4", ".amr", ".opus")
+
+
+class UnsupportedFormatError(RuntimeError):
+    """Raised when a container can't be decoded on this host.
+
+    Carries the zh-CN user-facing message (``zh``) the serving tier
+    surfaces — the reference's default input is an .m4a
+    (reference transcribe.py:239), so an ffmpeg-less host must tell the
+    user *why* and *what to do*, not stack-trace (VERDICT.md r2 #8)."""
+
+    def __init__(self, suffix: str):
+        self.suffix = suffix
+        self.zh = (f"当前服务器未安装 ffmpeg，无法解码 {suffix} 文件；"
+                   "请先将音频转换为 WAV 格式（16kHz 单声道最佳）再上传，"
+                   "或在服务器上安装 ffmpeg")
+        super().__init__(
+            f"cannot decode {suffix!r}: built-in decoder supports .wav "
+            "only; install ffmpeg for m4a/mp3/flac/ogg (the reference "
+            "pipeline also requires ffmpeg for these formats)")
+
+
+def decodable_suffixes() -> tuple:
+    """Audio suffixes this host can decode right now."""
+    if shutil.which("ffmpeg"):
+        return (".wav",) + FFMPEG_SUFFIXES
+    return (".wav",)
+
 
 def decode_wav_bytes(data: bytes):
     """Parse a RIFF/WAVE blob -> (float32 samples [n, ch], sample_rate).
@@ -142,7 +172,4 @@ def load_audio(path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
     if shutil.which("ffmpeg"):
         return _ffmpeg_decode(str(path), sample_rate)
 
-    raise RuntimeError(
-        f"cannot decode {path.suffix!r}: built-in decoder supports .wav; "
-        "install ffmpeg for m4a/mp3/flac/ogg (the reference pipeline also "
-        "requires ffmpeg for these formats)")
+    raise UnsupportedFormatError(path.suffix or "(no extension)")

@@ -188,8 +188,17 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
     out_segments: List[dict] = []
     word_segments: List[dict] = []
 
-    # phase 1: per-segment prep; group alignable clips by padded length
-    prep: List[Optional[dict]] = []
+    # phase 1: per-segment prep; group alignable clips by padded length.
+    # Segments longer than the largest length bucket are split into equal
+    # <=30 s pieces with the text divided proportionally by character —
+    # truncating the audio while tokenizing the FULL text force-fit every
+    # character into the truncated clip (garbage timings, or an
+    # infeasible -inf trellis once 2N+1 states exceed frames; ADVICE r2).
+    # The pipeline's own VAD windows are <=30 s; this is for
+    # caller-provided segments.
+    cap_samples = _ALIGN_LEN_BUCKETS_SEC[-1] * SAMPLE_RATE
+    prep: List[dict] = []
+    seg_pieces: List[List[int]] = []   # segment index -> prep indices
     groups: Dict[int, List[int]] = {}
     for seg in segments:
         text = (seg.get("text") or "").strip()
@@ -197,28 +206,38 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
         s_end = float(seg.get("end", s_start))
         s_idx = int(s_start * SAMPLE_RATE)
         e_idx = min(int(s_end * SAMPLE_RATE), len(audio))
-        clip = np.asarray(audio[s_idx:e_idx], np.float32)
-        # defensive cap at the largest length bucket (VAD windows are
-        # <= 30 s, but align() also accepts caller-provided segments)
-        clip = clip[: _ALIGN_LEN_BUCKETS_SEC[-1] * SAMPLE_RATE]
-        n_frames = frames_for_samples(len(clip))
-        labels: List[int] = []
-        char_idx: List[int] = []
-        if text and n_frames >= 2:
-            labels, char_idx = _tokenize_chars(text, model.vocab)
-        if not labels:
-            prep.append(None)
-            continue
-        # wav2vec2 expects zero-mean/unit-variance input; clips are padded
-        # to 1 s buckets so XLA compiles one program per bucket instead of
-        # one per unique segment length
-        norm = (clip - clip.mean()) / np.sqrt(clip.var() + 1e-7)
-        bucket = _len_bucket(len(norm))
-        padded = np.zeros(bucket, np.float32)
-        padded[: len(norm)] = norm
-        groups.setdefault(bucket, []).append(len(prep))
-        prep.append({"row": padded, "n_frames": n_frames, "labels": labels,
-                     "char_idx": char_idx, "start": s_start, "text": text})
+        n_pieces = max(1, -(-(e_idx - s_idx) // cap_samples))
+        chars_per = len(text) / n_pieces
+        my_prep: List[int] = []
+        for k in range(n_pieces):
+            # equal-duration pieces (each <= cap by construction) with a
+            # proportional character split
+            p_lo = s_idx + (e_idx - s_idx) * k // n_pieces
+            p_hi = s_idx + (e_idx - s_idx) * (k + 1) // n_pieces
+            p_start = p_lo / SAMPLE_RATE
+            p_text = text[int(k * chars_per): int((k + 1) * chars_per)] \
+                .strip()
+            clip = np.asarray(audio[p_lo:p_hi], np.float32)[:cap_samples]
+            n_frames = frames_for_samples(len(clip))
+            labels: List[int] = []
+            char_idx: List[int] = []
+            if p_text and n_frames >= 2:
+                labels, char_idx = _tokenize_chars(p_text, model.vocab)
+            if not labels:
+                continue
+            # wav2vec2 expects zero-mean/unit-variance input; clips are
+            # padded to the bucket ladder so XLA compiles one program per
+            # bucket instead of one per unique segment length
+            norm = (clip - clip.mean()) / np.sqrt(clip.var() + 1e-7)
+            bucket = _len_bucket(len(norm))
+            padded = np.zeros(bucket, np.float32)
+            padded[: len(norm)] = norm
+            groups.setdefault(bucket, []).append(len(prep))
+            my_prep.append(len(prep))
+            prep.append({"row": padded, "n_frames": n_frames,
+                         "labels": labels, "char_idx": char_idx,
+                         "start": p_start, "text": p_text})
+        seg_pieces.append(my_prep)
 
     # phase 2: submit every batched forward before fetching any
     pending: Dict[int, Tuple[Any, int]] = {}   # prep index -> (out, row)
@@ -234,29 +253,38 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
                 pending[pi] = (out, r)
 
     # phase 3: fetch + trellis in original order
-    for pi, seg in enumerate(segments):
+    for si, seg in enumerate(segments):
         seg_out = dict(seg)
         seg_out["words"] = []
-        info = prep[pi]
-        if info is None:
+        if not seg_pieces[si]:
             out_segments.append(seg_out)
             continue
-        out, r = pending[pi]
-        log_probs = np.asarray(out, np.float64)[r, : info["n_frames"]]
-        s_start, text = info["start"], info["text"]
-        labels, char_idx = info["labels"], info["char_idx"]
+        words: List[dict] = []
+        chars: List[dict] = []
+        for pi in seg_pieces[si]:
+            info = prep[pi]
+            out, r = pending[pi]
+            log_probs = np.asarray(out, np.float64)[r, : info["n_frames"]]
+            p_start, text = info["start"], info["text"]
+            labels, char_idx = info["labels"], info["char_idx"]
 
-        spans, _ = ctc_viterbi_align(log_probs, labels, model.blank_id)
+            spans, _ = ctc_viterbi_align(log_probs, labels, model.blank_id)
 
-        fd = model.frame_duration
-        char_times: List[Optional[Tuple[float, float, float]]] = \
-            [None] * len(text)
-        for (f0, f1, score), ci in zip(spans, char_idx):
-            if f0 < 0:
-                continue
-            char_times[ci] = (s_start + f0 * fd, s_start + f1 * fd, score)
+            fd = model.frame_duration
+            char_times: List[Optional[Tuple[float, float, float]]] = \
+                [None] * len(text)
+            for (f0, f1, score), ci in zip(spans, char_idx):
+                if f0 < 0:
+                    continue
+                char_times[ci] = (p_start + f0 * fd, p_start + f1 * fd,
+                                  score)
 
-        words = _group_words(text, char_times, model.language)
+            words.extend(_group_words(text, char_times, model.language))
+            if return_char_alignments:
+                chars.extend(
+                    {"char": text[i], "start": ct[0], "end": ct[1],
+                     "score": round(ct[2], 3)}
+                    for i, ct in enumerate(char_times) if ct is not None)
         for w in words:
             word_segments.append(w)
         seg_out["words"] = words
@@ -264,10 +292,7 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
             seg_out["start"] = words[0]["start"]
             seg_out["end"] = words[-1]["end"]
         if return_char_alignments:
-            seg_out["chars"] = [
-                {"char": text[i], "start": ct[0], "end": ct[1],
-                 "score": round(ct[2], 3)}
-                for i, ct in enumerate(char_times) if ct is not None]
+            seg_out["chars"] = chars
         out_segments.append(seg_out)
 
     return {"segments": out_segments, "word_segments": word_segments}

@@ -221,6 +221,16 @@ class BatchDecoder:
             jnp.asarray(build_blank_mask(tokenizer, cfg))
             if opts.suppress_blank
             else jnp.zeros(cfg.n_vocab, jnp.float32))
+        if opts.beam_size > 1 and (opts.int8_cross_kv
+                                   or opts.fused_attention):
+            # the beam kernel runs plain bf16 einsum attention; silently
+            # honoring these flags would mislabel A/B measurements
+            # (ADVICE r2)
+            import warnings
+            warnings.warn(
+                "beam_size>1 decodes through the bf16 einsum attention "
+                "path; int8_cross_kv / fused_attention are ignored for "
+                "beam search", RuntimeWarning, stacklevel=2)
 
     def _replicate(self, x):
         """Replicate a small array over the mesh (no-op without one)."""

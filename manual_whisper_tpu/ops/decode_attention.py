@@ -88,10 +88,10 @@ def _cross_int8_kernel(kv_len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("kv_len", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_cross_attention_int8(q: jnp.ndarray, k_q: jnp.ndarray,
                                 k_s: jnp.ndarray, v_q: jnp.ndarray,
-                                v_s: jnp.ndarray, kv_len: int = 0,
+                                v_s: jnp.ndarray, kv_len=0,
                                 interpret: bool = False) -> jnp.ndarray:
     """softmax((q k_q^T) * k_s / sqrt(dh)) diag(v_s) v_q^T, fused.
 
@@ -101,12 +101,16 @@ def decode_cross_attention_int8(q: jnp.ndarray, k_q: jnp.ndarray,
 
     ``kv_len``: true valid length when the inputs were pre-padded with
     pad_cross_kv (avoids a per-step pad copy in the decode loop); 0 means
-    every position is valid.
+    every position is valid.  A runtime scalar (NOT static): the
+    scalar-prefetch mask already handles any valid length, so one
+    compiled program serves every cross length at a given padded Ta
+    (ADVICE r2 — it was redundantly also a static arg, forcing a
+    recompile per length the mask made unnecessary).
     """
     b, h, _, dh = q.shape
     ta = k_q.shape[-1]
     ta_pad = _round_up(ta, 128)
-    kv_len = kv_len or ta
+    kv_len = jnp.where(jnp.asarray(kv_len, jnp.int32) > 0, kv_len, ta)
     scale = 1.0 / math.sqrt(dh)
 
     qf = q.reshape(b, h, dh)
@@ -136,7 +140,7 @@ def decode_cross_attention_int8(q: jnp.ndarray, k_q: jnp.ndarray,
             transcendentals=b * h * ta,
         ),
         interpret=interpret,
-    )(jnp.asarray([kv_len], jnp.int32), qf, k_q, k_s, v_q, v_s)
+    )(jnp.reshape(kv_len.astype(jnp.int32), (1,)), qf, k_q, k_s, v_q, v_s)
     return out.reshape(b, h, 1, dh)
 
 
@@ -155,17 +159,17 @@ def _cross_bf16_kernel(kv_len_ref, q_ref, k_ref, v_ref, out_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("kv_len", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                           kv_len: int = 0,
+                           kv_len=0,
                            interpret: bool = False) -> jnp.ndarray:
     """Fused q_len=1 attention over bf16 transposed K/V [B, H, dh, Ta].
 
-    ``kv_len`` as in decode_cross_attention_int8."""
+    ``kv_len`` as in decode_cross_attention_int8 (runtime scalar)."""
     b, h, _, dh = q.shape
     ta = k.shape[-1]
     ta_pad = _round_up(ta, 128)
-    kv_len = kv_len or ta
+    kv_len = jnp.where(jnp.asarray(kv_len, jnp.int32) > 0, kv_len, ta)
     scale = 1.0 / math.sqrt(dh)
 
     qf = q.reshape(b, h, dh)
@@ -191,7 +195,7 @@ def decode_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             transcendentals=b * h * ta,
         ),
         interpret=interpret,
-    )(jnp.asarray([kv_len], jnp.int32), qf, k, v)
+    )(jnp.reshape(kv_len.astype(jnp.int32), (1,)), qf, k, v)
     return out.reshape(b, h, 1, dh)
 
 

@@ -51,6 +51,9 @@ class Job:
     started_at: Optional[float] = None
     finished_at: Optional[float] = None
     options: dict = field(default_factory=dict)
+    # merged second-pass output; persisted so a restart between primary
+    # success and second-pass completion still serves the merged result
+    second_pass_result: Optional[dict] = None
 
     @property
     def predict_time(self) -> float:
@@ -136,6 +139,7 @@ class JobStore:
             "output": job.output, "error": job.error,
             "created_at": job.created_at, "started_at": job.started_at,
             "finished_at": job.finished_at,
+            "second_pass_result": job.second_pass_result,
         }
         tmp = self.state_dir / f".{job.id}.tmp"
         tmp.write_text(json.dumps(payload, ensure_ascii=False),
@@ -164,6 +168,7 @@ class JobStore:
                       created_at=data.get("created_at", now))
             job.started_at = data.get("started_at")
             job.finished_at = data.get("finished_at")
+            job.second_pass_result = data.get("second_pass_result")
             if job.status in ("starting", "processing"):
                 # interrupted by the restart: surface as failed
                 job.status = "failed"
@@ -232,7 +237,9 @@ class JobStore:
                 job.status = "succeeded"
                 job.log("100% done")
             except Exception as exc:  # surface as failed prediction
-                job.error = str(exc)
+                # typed errors may carry a zh-CN user-facing message
+                # (e.g. audio.io.UnsupportedFormatError)
+                job.error = getattr(exc, "zh", None) or str(exc)
                 job.status = "failed"
                 job.log(f"error: {exc}")
                 traceback.print_exc()

@@ -499,3 +499,86 @@ def test_job_state_persistence(tmp_path):
     interrupted = restarted.get(crashed.id)
     assert interrupted.status == "failed"
     assert "restarted" in interrupted.error
+
+
+def test_m4a_upload_rejected_without_ffmpeg(server, monkeypatch):
+    """An undecodable container is rejected at upload time with an
+    actionable zh-CN message, not a job-time stack (VERDICT r2 #8).
+    The reference's own default input is an .m4a (transcribe.py:239)."""
+    import shutil as _shutil
+    srv, backend, base = server
+    monkeypatch.setattr(_shutil, "which", lambda name: None)
+    status, out = _req("POST", f"{base}/api/upload", data=b"\x00" * 64,
+                       headers={"x-file-name": "meeting.m4a"})
+    assert status == 415
+    assert "ffmpeg" in out["error"]
+    assert "WAV" in out["error"]
+    assert "m4a" in out["error"]
+
+
+def test_unsupported_format_error_zh():
+    from manual_whisper_tpu.audio.io import UnsupportedFormatError
+    err = UnsupportedFormatError(".m4a")
+    assert ".m4a" in err.zh and "ffmpeg" in err.zh
+    assert "install ffmpeg" in str(err)
+
+
+def test_success_poll_response_is_cached(server, tmp_path):
+    """Terminal responses compute cleanup/markdown once per job; later
+    polls return the cached payload (VERDICT r2 weak #6)."""
+    from manual_whisper_tpu.text import processor as proc_mod
+    srv, backend, base = server
+    file_url = _upload_wav(base, tmp_path)
+    _, created = _req("POST", f"{base}/api/transcribe",
+                      data=json.dumps({"fileUrl": file_url}).encode())
+    first = _poll_until_done(base, created["id"])
+    assert first["status"] == "succeeded"
+
+    # poisoning the post-processor proves later polls never re-run it
+    calls = []
+    orig = proc_mod.post_process_segments
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    import manual_whisper_tpu.serving.server as server_mod
+    old = server_mod.post_process_segments
+    server_mod.post_process_segments = counting
+    try:
+        status, again = _req("GET",
+                             f"{base}/api/transcribe?id={created['id']}")
+    finally:
+        server_mod.post_process_segments = old
+    assert status == 200
+    assert not calls
+    assert again["output"] == first["output"]
+
+
+def test_second_pass_result_survives_restart(tmp_path):
+    """Second-pass output persists: a restart between primary success and
+    a later poll still serves the merged result (VERDICT r2 weak #5)."""
+    import time as _time
+    from manual_whisper_tpu.serving.jobs import JobStore
+
+    state_dir = tmp_path / "jobs"
+    backend = MockBackend()
+    store = JobStore(backend, state_dir=str(state_dir))
+    job = store.create("1.2.3.4", "/tmp/a.wav", "zh")
+    deadline = _time.time() + 5
+    while job.status not in ("succeeded", "failed"):
+        assert _time.time() < deadline
+        _time.sleep(0.05)
+
+    # what the server's second-pass worker does when the re-pass lands
+    job.second_pass_result = {
+        "segments": [{"text": "补回", "start": 0.0, "end": 1.0}],
+        "second_pass": {"enabled": True, "recovered_segments": 1},
+    }
+    store._persist(job)
+
+    restarted = JobStore(backend, state_dir=str(state_dir))
+    restored = restarted.get(job.id)
+    assert restored.second_pass_result is not None
+    assert restored.second_pass_result["second_pass"][
+        "recovered_segments"] == 1
