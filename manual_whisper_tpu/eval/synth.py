@@ -3,13 +3,18 @@
 The reference's quality is defined by real checkpoints the build cannot
 download here (transcribe.py:107-113 pulls from the HF hub), so quality
 numbers need ground truth that exists *inside* the repo.  This module
-defines a tiny artificial language — each word is a fixed two-tone chord
-— plus renderers for utterances, multi-utterance files (VAD/chunking
-exercise), and two-speaker conversations with RTTM truth (diarization
-exercise).  tools/train_synth.py trains the `test` Whisper config on it;
-tools/run_synth_eval.py then measures WER/CER/DER through the FULL
-pipeline (VAD -> chunk -> mel -> encode -> decode -> cleanup), giving a
-real, regressable metric (EVAL_r02.json) instead of an asserted one.
+defines an artificial language — each word is a fixed two-tone chord —
+plus renderers for utterances, multi-utterance files (VAD/chunking
+exercise), and multi-speaker conversations with RTTM truth (diarization
+exercise).  tools/train_synth*.py train the `test` Whisper config, the
+PyanNet VAD, the speaker embedder and a tiny wav2vec2-CTC aligner on it;
+tools/run_synth_eval.py then measures WER/CER/DER (+ word-timing MAE/F1)
+through the FULL pipeline, giving real, regressable metrics
+(EVAL_r{N}.json) instead of asserted ones.
+
+Corpus v2 (round 3, VERDICT r2 #4 — the 10-word corpus saturated at
+WER 0.02 / DER 0.0): 56-word lexicon, 4-8-word utterances, 2-4 speakers
+with overlapping turns, and an SNR knob for clean/10 dB/0 dB sweeps.
 
 Everything is seeded and pure-numpy: corpora regenerate bit-identically.
 """
@@ -17,32 +22,44 @@ Everything is seeded and pure-numpy: corpora regenerate bit-identically.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 SAMPLE_RATE = 16000
 
-# Ten words; each is a two-tone chord.  Frequencies sit on distinct mel
-# bins well inside the 80-mel / 8 kHz front end and avoid harmonic
-# collisions (no f being a multiple of another word's f).
-WORDS: Dict[str, Tuple[float, float]] = {
-    "bo": (220.0, 330.0),
-    "da": (290.0, 470.0),
-    "ki": (380.0, 610.0),
-    "lu": (500.0, 790.0),
-    "mei": (650.0, 1030.0),
-    "nan": (840.0, 1340.0),
-    "po": (1090.0, 1740.0),
-    "ri": (1410.0, 2260.0),
-    "su": (1830.0, 2930.0),
-    "ta": (2370.0, 3800.0),
-}
+# 13 base frequencies on a ~1.28x log grid, all inside the 80-mel / 8 kHz
+# front end.  Each word is an unordered two-tone chord drawn from the
+# grid with index distance >= 2, so any chord decomposes uniquely and the
+# mel front end resolves both components everywhere on the grid.
+_FREQS: Tuple[float, ...] = tuple(
+    round(190.0 * 1.28 ** k, 1) for k in range(13))
+
+_ONSETS = "bdklmnprstfghv"          # 14 onsets x 4 vowels = 56 names
+_VOWELS = "aeio"
+
+
+def _make_lexicon() -> Dict[str, Tuple[float, float]]:
+    pairs = [(i, j) for i, j in itertools.combinations(range(len(_FREQS)), 2)
+             if j - i >= 2]
+    pairs.sort(key=lambda p: (p[0] + p[1], p[0]))
+    names = [o + v for o in _ONSETS for v in _VOWELS]
+    return {names[k]: (_FREQS[i], _FREQS[j])
+            for k, (i, j) in enumerate(pairs[: len(names)])}
+
+
+WORDS: Dict[str, Tuple[float, float]] = _make_lexicon()
 WORD_LIST = list(WORDS)
+
+# words whose tones stay <= ~1.1 kHz: the conversation register band that
+# survives ring-modulation to disjoint speaker bands (see _speaker_voice)
+LOW_WORDS: Tuple[str, ...] = tuple(
+    w for w, (f1, f2) in WORDS.items() if f2 <= 1100.0)
 
 WORD_SEC = 0.24          # voiced part
 GAP_SEC = 0.06           # intra-utterance gap between words
-NOISE = 0.002            # additive noise floor
+NOISE = 0.002            # additive noise floor (the "clean" condition)
 
 
 def _tone(freqs: Sequence[float], seconds: float,
@@ -52,6 +69,20 @@ def _tone(freqs: Sequence[float], seconds: float,
     # Hann envelope keeps word boundaries click-free and VAD-friendly
     env = np.hanning(len(t)) ** 0.5
     return (0.45 * x * env).astype(np.float32)
+
+
+def _add_noise(audio: np.ndarray, rng: np.random.Generator,
+               snr_db: Optional[float]) -> np.ndarray:
+    """Additive white noise: the fixed NOISE floor when ``snr_db`` is
+    None (the historical "clean" condition), else scaled to the requested
+    signal-to-noise ratio over the whole file."""
+    if snr_db is None:
+        return audio + NOISE * rng.standard_normal(len(audio)).astype(
+            np.float32)
+    sig_power = float(np.mean(audio.astype(np.float64) ** 2)) or 1e-12
+    noise_power = sig_power / (10.0 ** (snr_db / 10.0))
+    noise = np.sqrt(noise_power) * rng.standard_normal(len(audio))
+    return (audio + noise.astype(np.float32)).astype(np.float32)
 
 
 def render_utterance(words: Sequence[str], seed: int = 0,
@@ -67,13 +98,13 @@ def render_utterance(words: Sequence[str], seed: int = 0,
 
 
 def sample_text(rng: np.random.Generator,
-                min_words: int = 1, max_words: int = 3) -> List[str]:
+                min_words: int = 4, max_words: int = 8) -> List[str]:
     n = int(rng.integers(min_words, max_words + 1))
     return [WORD_LIST[int(i)] for i in rng.integers(0, len(WORD_LIST), n)]
 
 
-def make_corpus(n: int, seed: int = 0, min_words: int = 1,
-                max_words: int = 3) -> List[Tuple[np.ndarray, str]]:
+def make_corpus(n: int, seed: int = 0, min_words: int = 4,
+                max_words: int = 8) -> List[Tuple[np.ndarray, str]]:
     """n seeded (audio, transcript) pairs of single utterances."""
     rng = np.random.default_rng(seed)
     out = []
@@ -86,15 +117,17 @@ def make_corpus(n: int, seed: int = 0, min_words: int = 1,
 
 def render_file_with_times(utterances: Sequence[Sequence[str]],
                            seed: int = 0, gap_sec: float = 0.5,
-                           sr: int = SAMPLE_RATE
+                           sr: int = SAMPLE_RATE,
+                           snr_db: Optional[float] = None,
                            ) -> Tuple[np.ndarray,
                                       List[Tuple[str, float, float]]]:
     """Multi-utterance file -> (audio, [(word, start, end), ...]).
 
-    Word times let training data be cut by the PRODUCT's own VAD + chunk
-    merger (tools/train_synth.py): the model then sees exactly the window
-    layouts inference produces — merged utterances, mid-window gaps,
-    VAD-trimmed onsets — instead of idealized one-utterance windows."""
+    Word times serve two consumers: tools/train_synth.py cuts training
+    windows with the PRODUCT's own VAD + chunk merger so the model sees
+    exactly the window layouts inference produces, and the word-timing
+    eval (word MAE / F1) scores wav2vec2 forced alignment against them.
+    ``snr_db``: None = clean noise floor; a value = that global SNR."""
     rng = np.random.default_rng(seed)
     parts = [np.zeros(int(0.25 * sr), np.float32)]
     words_t: List[Tuple[str, float, float]] = []
@@ -108,23 +141,24 @@ def render_file_with_times(utterances: Sequence[Sequence[str]],
         parts.append(np.zeros(int(gap_sec * sr), np.float32))
         cursor += len(wav) / sr + gap_sec
     audio = np.concatenate(parts)
-    audio += NOISE * rng.standard_normal(len(audio)).astype(np.float32)
-    return audio, words_t
+    return _add_noise(audio, rng, snr_db), words_t
 
 
 def render_file(utterances: Sequence[Sequence[str]], seed: int = 0,
-                gap_sec: float = 0.5, sr: int = SAMPLE_RATE
+                gap_sec: float = 0.5, sr: int = SAMPLE_RATE,
+                snr_db: Optional[float] = None,
                 ) -> Tuple[np.ndarray, str]:
     """Multi-utterance file with silence gaps (exercises VAD + chunking).
 
     Returns (audio, full transcript)."""
     audio, words_t = render_file_with_times(utterances, seed=seed,
-                                            gap_sec=gap_sec, sr=sr)
+                                            gap_sec=gap_sec, sr=sr,
+                                            snr_db=snr_db)
     return audio, " ".join(w for w, _, _ in words_t)
 
 
 # ---------------------------------------------------------------------------
-# Two-speaker conversations (diarization ground truth)
+# Multi-speaker conversations (diarization ground truth)
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass
@@ -135,51 +169,74 @@ class Turn:
     words: List[str]
 
 
+# ring-modulation carriers per speaker slot: 0 Hz (clean register) plus
+# three carriers inside the band tools/train_synth_embed.py samples its
+# training voices from (1.5-7.8 kHz), so every conversation voice is
+# in-distribution for the trained embedder.  With LOW_WORDS content
+# (<= 1.1 kHz) the modulated bands stay essentially disjoint.
+_SPEAKER_CARRIERS: Tuple[float, ...] = (0.0, 4500.0, 2400.0, 6300.0)
+
+
 def _speaker_voice(audio: np.ndarray, speaker: int,
                    sr: int = SAMPLE_RATE) -> np.ndarray:
-    """Give each speaker a distinct spectral register: speaker 1's words
-    ride a 4.5 kHz ring-modulation carrier, moving the whole voice into a
-    band disjoint from speaker 0's low-word register (conversations draw
-    words from the low half of the lexicon, see render_conversation).
+    """Give each speaker a distinct spectral register via ring
+    modulation, the same voice mechanism the embedding trainer uses.
     Between-speaker separation then dominates within-speaker content
     variance, as register does for real voices."""
-    if speaker == 0:
+    carrier = _SPEAKER_CARRIERS[speaker % len(_SPEAKER_CARRIERS)]
+    if carrier == 0.0:
         return audio
     t = np.arange(len(audio)) / sr
-    carrier = np.cos(2 * np.pi * 4500.0 * t).astype(np.float32)
-    return (audio * carrier).astype(np.float32)
+    return (audio * np.cos(2 * np.pi * carrier * t)).astype(np.float32)
 
 
 def render_conversation(n_turns: int = 8, seed: int = 0,
-                        gap_sec: float = 0.45, sr: int = SAMPLE_RATE
+                        gap_sec: float = 0.45, sr: int = SAMPLE_RATE,
+                        n_speakers: int = 2,
+                        overlap_prob: float = 0.0,
+                        snr_db: Optional[float] = None,
                         ) -> Tuple[np.ndarray, List[Turn]]:
-    """Alternating two-speaker conversation -> (audio, reference turns).
+    """Round-robin ``n_speakers`` conversation -> (audio, reference turns).
 
     Turns run 6-10 words (~2-3 s) — meeting-like lengths that the 3 s
     sliding embedding windows of DiarizationPipeline can capture as
     single-speaker; sub-second turns would put both voices in every
-    window and measure the fixture, not the pipeline."""
+    window and measure the fixture, not the pipeline.
+
+    ``overlap_prob``: chance that a turn starts before the previous one
+    ends (cut-in by up to ~40% of the previous turn, capped at 1 s) —
+    overlapping speech is summed and the RTTM truth reflects the actual
+    overlapping intervals (the powerset segmentation head models two
+    simultaneous speakers, so DER can hold it to account)."""
     rng = np.random.default_rng(seed)
-    parts = [np.zeros(int(0.3 * sr), np.float32)]
     turns: List[Turn] = []
+    placed: List[Tuple[float, np.ndarray]] = []   # (start sec, waveform)
     cursor = 0.3
-    low_words = WORD_LIST[:6]            # <=1.34 kHz: disjoint from the
-    for i in range(n_turns):             # ring-modulated speaker-1 band
-        spk = i % 2
-        words = [low_words[int(j)]
-                 for j in rng.integers(0, len(low_words),
+    prev_end = 0.3
+    for i in range(n_turns):
+        spk = i % n_speakers
+        words = [LOW_WORDS[int(j)]
+                 for j in rng.integers(0, len(LOW_WORDS),
                                        int(rng.integers(6, 11)))]
         wav = render_utterance(words, seed=seed * 31337 + i, sr=sr)
         wav = _speaker_voice(wav, spk, sr)
         dur = len(wav) / sr
-        turns.append(Turn(start=round(cursor, 3), end=round(cursor + dur, 3),
+        start = cursor
+        if turns and overlap_prob > 0 and rng.random() < overlap_prob:
+            prev = turns[-1]
+            cut_in = min(1.0, 0.4 * (prev.end - prev.start))
+            start = max(prev.start + 0.2, prev.end - cut_in)
+        turns.append(Turn(start=round(start, 3), end=round(start + dur, 3),
                           speaker=f"SPEAKER_{spk:02d}", words=words))
-        parts.append(wav)
-        parts.append(np.zeros(int(gap_sec * sr), np.float32))
-        cursor += dur + gap_sec
-    audio = np.concatenate(parts)
-    audio += NOISE * rng.standard_normal(len(audio)).astype(np.float32)
-    return audio, turns
+        placed.append((start, wav))
+        prev_end = max(prev_end, start + dur)
+        cursor = prev_end + gap_sec
+    total = int((prev_end + 0.3) * sr)
+    audio = np.zeros(total, np.float32)
+    for start, wav in placed:
+        lo = int(start * sr)
+        audio[lo: lo + len(wav)] += wav
+    return _add_noise(audio, rng, snr_db), turns
 
 
 def turns_to_rttm(turns: Sequence[Turn]) -> List[dict]:

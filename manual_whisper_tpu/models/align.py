@@ -348,6 +348,24 @@ def load_align_model(language_code: str, device: Optional[str] = None,
         raise KeyError(f"no default alignment model for {language_code!r}")
     root = config.weights_dir()
     path = Path(root) / name.replace("/", "--") if root else None
+    # torch-free registry form first: an orbax checkpoint + align_meta.json
+    # (config fields, char vocab, blank id), as written by
+    # tools/train_synth_align.py — same two-form registry pattern as the
+    # VAD/embedding loaders
+    if path is not None and (path / "jax").exists() \
+            and (path / "align_meta.json").exists():
+        from ..convert.from_hf import load_params
+        meta = json.loads((path / "align_meta.json").read_text(
+            encoding="utf-8"))
+        params = load_params(path / "jax")
+        if params is not None:
+            config.warn_if_synth_checkpoint(path, "alignment wav2vec2")
+            return AlignModel(params=params,
+                              cfg=Wav2Vec2Config(**meta["config"]),
+                              vocab={k: int(v) for k, v
+                                     in meta["vocab"].items()},
+                              blank_id=int(meta["blank_id"]),
+                              language=language_code)
     if path is None or not (path / "config.json").exists():
         if config.get_bool("MWX_ALLOW_RANDOM_WEIGHTS", False):
             # benchmarks/tests: exercise the wav2vec2 + CTC-trellis compute

@@ -499,22 +499,46 @@ class VoiceActivityDetector:
         self.params = params
         self.cfg = cfg
 
-    def speech_probs(self, audio: np.ndarray) -> Tuple[np.ndarray, float]:
+    def iter_speech_probs(self, audio: np.ndarray,
+                          block_windows: int = PYANNET_CHUNK):
+        """Yield ``(probs_so_far, frame_duration, is_last)`` per device
+        block of ``block_windows`` PyanNet windows.
+
+        PyanNet scores each window independently, so cumulative per-block
+        probabilities equal the all-at-once result.  The pipeline uses
+        this to overlap host-CPU VAD with in-flight TPU encode/decode
+        dispatches (pipeline/transcribe.py); the energy fallback yields
+        once (a single cheap numpy pass)."""
+        audio = np.asarray(audio, np.float32)
         if self.params is None:
-            return energy_vad_probs(audio)
+            probs, frame_dur = energy_vad_probs(audio)
+            yield probs, frame_dur, True
+            return
         window = int(self.cfg.window_sec * SAMPLE_RATE)
         n = len(audio)
         n_windows = max(1, int(np.ceil(n / window)))
-        padded = np.zeros(n_windows * window, np.float32)
-        padded[:n] = audio
-        batch = padded.reshape(n_windows, window)
-        log_probs = pyannet_forward_chunked(self.params, batch, self.cfg)
-        speech = powerset_to_speech_prob(log_probs)
-        flat = speech.reshape(-1)
-        frames_per_win = speech.shape[1]
-        frame_dur = self.cfg.window_sec / frames_per_win
-        valid = int(np.ceil(n / SAMPLE_RATE / frame_dur))
-        return flat[:valid], frame_dur
+        parts: List[np.ndarray] = []
+        for lo in range(0, n_windows, block_windows):
+            m = min(block_windows, n_windows - lo)
+            block = np.zeros((m, window), np.float32)
+            avail = audio[lo * window: (lo + m) * window]
+            block.reshape(-1)[: len(avail)] = avail
+            log_probs = pyannet_forward_chunked(self.params, block, self.cfg)
+            speech = powerset_to_speech_prob(log_probs)
+            parts.append(speech.reshape(-1))
+            frame_dur = self.cfg.window_sec / speech.shape[1]
+            flat = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            is_last = lo + m >= n_windows
+            if is_last:
+                valid = int(np.ceil(n / SAMPLE_RATE / frame_dur))
+                flat = flat[:valid]
+            yield flat, frame_dur, is_last
+
+    def speech_probs(self, audio: np.ndarray) -> Tuple[np.ndarray, float]:
+        probs, frame_dur = np.zeros(0, np.float32), 0.01
+        for probs, frame_dur, _ in self.iter_speech_probs(audio):
+            pass
+        return probs, frame_dur
 
     def __call__(self, audio: np.ndarray,
                  opts: VadOptions = VadOptions()

@@ -86,9 +86,12 @@ MODEL_CONFIGS: Dict[str, WhisperConfig] = {
     "large-v3-turbo": _cfg("large-v3-turbo", 1280, 20, 32, l_dec=4,
                            n_mels=128, n_vocab=51866, langs=100),
     # Tiny synthetic config for unit tests / CI (256-byte test tokenizer).
+    # 3.0 s window (n_audio_ctx 150): the synth-eval corpus speaks
+    # 4-8-word utterances of ~0.3 s/word (eval/synth.py v2), which must
+    # fit one window the way real speech fits Whisper's 30 s.
     "test": WhisperConfig(name="test", n_mels=80, n_vocab=2000,
-                          n_audio_ctx=60, n_audio_state=64, n_audio_head=2,
-                          n_audio_layer=2, n_text_ctx=32, n_text_state=64,
+                          n_audio_ctx=150, n_audio_state=64, n_audio_head=2,
+                          n_audio_layer=2, n_text_ctx=64, n_text_state=64,
                           n_text_head=2, n_text_layer=2, num_languages=100,
                           dtype=jnp.float32),
 }

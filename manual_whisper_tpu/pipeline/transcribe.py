@@ -28,7 +28,7 @@ from .. import config
 from ..audio import load_audio
 from ..models import MODEL_CONFIGS, WhisperConfig, encode, init_params
 from ..models.decode import BatchDecoder, DecodingOptions
-from ..models.vad import VadOptions, VoiceActivityDetector
+from ..models.vad import VadOptions, VoiceActivityDetector, binarize
 from ..ops.mel import log_mel_spectrogram
 from ..tokenizer import WhisperTokenizer, make_test_tokenizer
 from .chunking import (CHUNK_LENGTH_SEC, N_SAMPLES, SpeechChunk,
@@ -275,37 +275,70 @@ class TranscribePipeline:
 
         chunk_size = min(chunk_size or self.window_sec, self.window_sec)
 
-        report(0.0, "voice activity detection")
-        regions = self.vad(audio, vad_options or self.vad_options)
-        chunks = merge_chunks(regions, chunk_size)
-        if not chunks:
-            report(100.0, "no speech detected")
-            return {"segments": [],
-                    "language": language or self.language or "zh"}
-
         lang = language or self.language
         if not lang:
             lang = self.detect_language(audio)
-            report(5.0, f"detected language: {lang}")
+            report(2.0, f"detected language: {lang}")
 
         decoder = self._decoder(lang, temperature, initial_prompt)
-        batches = batch_chunks(audio, chunks, batch_size,
-                               window_samples=self.window_samples,
-                               divisor=self.data_parallel)
-        segments: List[dict] = []
-        t0 = time.time()
-        # submit every encode AND every first-rung decode before fetching
-        # anything: JAX dispatch is async, so batch i+1's encoder+decoder
-        # device time overlaps batch i's host fetch/post-processing (and
-        # the per-dispatch round-trip cost, which dominates on a remote
-        # chip). Fallback retries are rare and stay synchronous.
-        encoded = [self._encode_windows(w) for w, _ in batches]
         use_ts = not self.asr_options.get("without_timestamps", True)
         first_temp = decoder.opts.temperatures[0] \
             if decoder.opts.temperatures else 0.0
-        submitted = [decoder.timestamps_submit(xa) if use_ts
-                     else decoder.decode_submit(xa, first_temp)
-                     for xa in encoded]
+
+        report(0.0, "voice activity detection")
+        # VAD/encode overlap: chunks finalize incrementally per VAD block
+        # and each full batch is dispatched (encode + first-rung decode)
+        # the moment it exists — the host CPU scores the NEXT VAD block
+        # while the chip crunches the batches already in flight.  JAX
+        # dispatch is async, so batch i+1's device time also overlaps
+        # batch i's host fetch/post-processing (the per-dispatch
+        # round-trip dominates on a remote chip).  Fallback retries are
+        # rare and stay synchronous.
+        batches: List[tuple] = []     # (windows, group) in dispatch order
+        encoded: List = []
+        submitted: List = []
+
+        def dispatch(group: List[SpeechChunk]) -> None:
+            for windows, grp in batch_chunks(
+                    audio, group, batch_size,
+                    window_samples=self.window_samples,
+                    divisor=self.data_parallel):
+                xa = self._encode_windows(windows)
+                batches.append((windows, grp))
+                encoded.append(xa)
+                submitted.append(decoder.timestamps_submit(xa) if use_ts
+                                 else decoder.decode_submit(xa, first_temp))
+
+        opts = vad_options or self.vad_options
+        duration = len(audio) / 16000.0
+        queue: List[SpeechChunk] = []
+        emitted = 0
+        for probs, frame_dur, is_last in self.vad.iter_speech_probs(audio):
+            regions = [(max(0.0, s), min(duration, e))
+                       for s, e in binarize(probs, frame_dur, opts)]
+            if not is_last and regions:
+                # the last region may still extend or merge with speech in
+                # the next block; chunks touching it are not final yet
+                regions = regions[:-1]
+            chunks_all = merge_chunks(regions, chunk_size)
+            # greedy merging is prefix-stable over the (append-only)
+            # finalized regions, except its last chunk, which may absorb
+            # the next region
+            final = chunks_all if is_last else chunks_all[:-1]
+            queue.extend(final[emitted:])
+            emitted = len(final)
+            while len(queue) >= batch_size:
+                dispatch(queue[:batch_size])
+                queue = queue[batch_size:]
+        if queue:
+            dispatch(queue)
+
+        if not batches:
+            report(100.0, "no speech detected")
+            return {"segments": [], "language": lang}
+
+        segments: List[dict] = []
+        t0 = time.time()
         for bi, (windows, group) in enumerate(batches):
             xa = encoded[bi]
             if use_ts:

@@ -38,14 +38,16 @@ def test_corpus_deterministic_and_fits_window():
 
 
 def test_tokens_fit_training_seq_len():
-    # mirrors tools/train_synth.py exactly: seq_len = 28 and the same
-    # 4-token prefix (sot_sequence with without_timestamps=True) — the
-    # previous bound pinned a stale 24 with a shorter prefix (ADVICE r2)
-    seq_len = 28                              # train_synth.py seq_len
+    # mirrors tools/train_synth.py exactly: seq_len = 36 and the same
+    # 4-token prefix (sot_sequence with without_timestamps=True) — a
+    # stale pinned constant previously drifted from the trainer
+    # (ADVICE r2)
+    seq_len = 36                              # train_synth.py seq_len
     tk = make_test_tokenizer()
     prefix = tk.sot_sequence(language="en", task="transcribe",
                              without_timestamps=True)
-    longest = " ".join(["mei"] * 3)          # longest word x max_words
+    longest_word = max(WORDS, key=len)
+    longest = " ".join([longest_word] * 8)   # longest word x max_words
     toks = prefix + tk.encode(" " + longest) + [tk.special.eot]
     assert len(toks) <= seq_len
 

@@ -1,18 +1,25 @@
 #!/usr/bin/env python3
-"""Measure WER/CER (+DER) through the FULL pipeline on the synth corpus.
+"""Measure WER/CER, word-timing MAE/F1 and DER through the FULL pipeline
+on the synth corpus.
 
-Loads the checkpoint tools/train_synth.py produced and runs the real
-product path — energy/PyanNet VAD -> chunk merger -> batched mel ->
-encoder -> KV-cache decode -> text cleanup — on held-out synthetic files
-(multi-utterance, so VAD boundaries and chunk batching are really
-exercised), then scores WER/CER against the known transcripts and DER on
-two-speaker conversations.  Writes EVAL_r{N}.json at the repo root: the
-regressable quality number VERDICT.md round 1 asked for (BASELINE.json
-"WER + DER parity" north star; the reference itself publishes no numbers,
-SURVEY.md §6).
+Loads the checkpoints tools/train_synth*.py produced and runs the real
+product path — PyanNet/energy VAD -> chunk merger -> batched mel ->
+encoder -> KV-cache decode -> text cleanup — on held-out synthetic files,
+then scores:
 
-Usage: python tools/run_synth_eval.py [--ckpt .synth_ckpt] [--files 24]
-       [--out EVAL_r02.json]
+- WER/CER against known transcripts across an SNR sweep
+  (clean / 10 dB / 0 dB — VERDICT r2 #4: the saturated v1 corpus could
+  no longer discriminate),
+- word-boundary MAE + F1(+-80 ms) of wav2vec2 forced alignment against
+  exact rendered word times (VERDICT r2 #3),
+- DER on 2/3/4-speaker conversations incl. overlapping turns, plus an
+  optional hour-length file.
+
+Writes EVAL_r{N}.json at the repo root (the reference itself publishes no
+numbers, SURVEY.md §6).
+
+Usage: python tools/run_synth_eval.py [--ckpt .synth_ckpt] [--files 12]
+       [--out EVAL_r03.json] [--long-minutes 60]
 """
 
 import argparse
@@ -27,15 +34,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=".synth_ckpt")
-    ap.add_argument("--files", type=int, default=24)
-    ap.add_argument("--convos", type=int, default=6)
+    ap.add_argument("--files", type=int, default=12,
+                    help="held-out files PER SNR condition")
+    ap.add_argument("--convos", type=int, default=4,
+                    help="conversations per speaker-count condition")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--beam", type=int, default=1,
                     help="beam size (5 = faster-whisper/WhisperX default; "
                          "records the WER delta that justifies the greedy "
                          "perf default)")
+    ap.add_argument("--long-minutes", type=int, default=60,
+                    help="length of the long-file DER check (0 skips)")
     ap.add_argument("--seed", type=int, default=9000)
-    ap.add_argument("--out", default="EVAL_r02.json")
+    ap.add_argument("--out", default="EVAL_r03.json")
     ap.add_argument("--platform", default="cpu",
                     help="cpu (default) or tpu; env JAX_PLATFORMS is "
                          "pinned by the axon sitecustomize, config wins")
@@ -48,10 +59,11 @@ def main() -> int:
     import numpy as np
 
     from manual_whisper_tpu.convert.from_hf import load_params
-    from manual_whisper_tpu.eval.metrics import cer, der, wer
+    from manual_whisper_tpu.eval.metrics import (cer, der, wer,
+                                                 word_timing_scores)
     from manual_whisper_tpu.eval.synth import (render_conversation,
-                                               render_file, sample_text,
-                                               turns_to_rttm)
+                                               render_file_with_times,
+                                               sample_text, turns_to_rttm)
     from manual_whisper_tpu.models import MODEL_CONFIGS
     from manual_whisper_tpu.pipeline.transcribe import TranscribePipeline
     from manual_whisper_tpu.text import clean_result_segments
@@ -86,84 +98,135 @@ def main() -> int:
         print(f"VAD registry load failed ({exc}); energy fallback",
               file=sys.stderr)
     model = TranscribePipeline(params, cfg, make_test_tokenizer(),
-                               asr_options={"max_new_tokens": 20,
+                               asr_options={"max_new_tokens": 40,
                                             "beam_size": args.beam,
                                             "suppress_blank": False},
                                language="en", vad=vad)
 
-    # -- WER/CER over held-out multi-utterance files -------------------------
+    # -- WER/CER over held-out multi-utterance files, per SNR ----------------
     rng = np.random.default_rng(args.seed)
+    snr_sweep = {"clean": None, "snr10": 10.0, "snr0": 0.0}
+    by_snr = {}
     rows = []
-    wer_sum = cer_sum = 0.0
     total_audio = total_wall = 0.0
-    for i in range(args.files):
-        utts = [sample_text(rng, 1, 3)
-                for _ in range(int(rng.integers(2, 5)))]
-        audio, truth = render_file(utts, seed=args.seed + i)
-        t0 = time.time()
-        result = model.transcribe(audio, batch_size=args.batch,
-                                  language="en")
-        wall = time.time() - t0
-        cleaned, _, _ = clean_result_segments(result["segments"])
-        hyp = " ".join(s["text"].strip() for s in cleaned)
-        rows.append({"file": i, "ref": truth, "hyp": hyp,
-                     "wer": round(wer(truth, hyp), 4),
-                     "cer": round(cer(truth, hyp), 4)})
-        wer_sum += rows[-1]["wer"]
-        cer_sum += rows[-1]["cer"]
-        total_audio += len(audio) / 16000.0
-        total_wall += wall
-        print(json.dumps(rows[-1], ensure_ascii=False), flush=True)
+    for cond, snr_db in snr_sweep.items():
+        wer_sum = cer_sum = 0.0
+        for i in range(args.files):
+            utts = [sample_text(rng, 4, 8)
+                    for _ in range(int(rng.integers(2, 5)))]
+            audio, words_t = render_file_with_times(
+                utts, seed=args.seed + i, snr_db=snr_db)
+            truth = " ".join(w for w, _, _ in words_t)
+            t0 = time.time()
+            result = model.transcribe(audio, batch_size=args.batch,
+                                      language="en")
+            wall = time.time() - t0
+            cleaned, _, _ = clean_result_segments(result["segments"])
+            hyp = " ".join(s["text"].strip() for s in cleaned)
+            row = {"cond": cond, "file": i, "ref": truth, "hyp": hyp,
+                   "wer": round(wer(truth, hyp), 4),
+                   "cer": round(cer(truth, hyp), 4)}
+            rows.append(row)
+            wer_sum += row["wer"]
+            cer_sum += row["cer"]
+            total_audio += len(audio) / 16000.0
+            total_wall += wall
+            print(json.dumps(row, ensure_ascii=False), flush=True)
+        by_snr[cond] = {"mean_wer": round(wer_sum / max(args.files, 1), 4),
+                        "mean_cer": round(cer_sum / max(args.files, 1), 4)}
 
-    # -- DER over two-speaker conversations ----------------------------------
-    ders = []
+    # -- word-timing accuracy of forced alignment (truth segments) -----------
+    timing = None
+    try:
+        from manual_whisper_tpu.models.align import align, load_align_model
+        amodel = load_align_model("en")
+        maes_s, maes_e, f1s = [], [], []
+        for i in range(6):
+            utts = [sample_text(rng, 4, 8)
+                    for _ in range(int(rng.integers(2, 5)))]
+            audio, words_t = render_file_with_times(
+                utts, seed=args.seed + 3000 + i)
+            segs, wi = [], 0
+            for u in utts:
+                sw = words_t[wi: wi + len(u)]
+                wi += len(u)
+                segs.append({"text": " ".join(w for w, _, _ in sw),
+                             "start": max(0.0, sw[0][1] - 0.05),
+                             "end": sw[-1][2] + 0.05})
+            out = align(segs, amodel, audio)
+            s = word_timing_scores(words_t, out["word_segments"])
+            maes_s.append(s["mae_start"])
+            maes_e.append(s["mae_end"])
+            f1s.append(s["f1"])
+            print(json.dumps({"align_file": i, **s}), flush=True)
+        timing = {"files": len(f1s),
+                  "mae_start_ms": round(1000 * float(np.mean(maes_s)), 1),
+                  "mae_end_ms": round(1000 * float(np.mean(maes_e)), 1),
+                  "f1_80ms": round(float(np.mean(f1s)), 4),
+                  "model": "trained synth wav2vec2-CTC "
+                           "(tools/train_synth_align.py)"}
+    except Exception as exc:  # alignment must not sink the ASR numbers
+        print(f"alignment eval failed: {exc}", file=sys.stderr)
+        timing = {"error": str(exc)}
+
+    # -- DER: speaker-count / overlap conditions ------------------------------
+    der_conds = {}
     try:
         from manual_whisper_tpu.models.diarize import DiarizationPipeline
         diar = DiarizationPipeline()
-        for i in range(args.convos):
-            audio, turns = render_conversation(n_turns=8,
-                                               seed=args.seed + 500 + i)
+        for cond, (n_spk, ov) in {
+                "2spk": (2, 0.0), "3spk_overlap": (3, 0.25),
+                "4spk_overlap": (4, 0.25)}.items():
+            ders = []
+            for i in range(args.convos):
+                audio, turns = render_conversation(
+                    n_turns=4 * n_spk, seed=args.seed + 500 + i,
+                    n_speakers=n_spk, overlap_prob=ov)
+                hyp_turns = diar(audio)
+                ders.append(round(der(turns_to_rttm(turns), hyp_turns), 4))
+                print(json.dumps({"cond": cond, "convo": i,
+                                  "der": ders[-1]}), flush=True)
+            der_conds[cond] = round(sum(ders) / max(len(ders), 1), 4)
+        if args.long_minutes > 0:
+            # hour-scale file: one long conversation through the same
+            # pipeline (VERDICT r2 #4 — long-context DER evidence)
+            n_turns = int(args.long_minutes * 60 / 3.2)
+            audio, turns = render_conversation(
+                n_turns=n_turns, seed=args.seed + 900, n_speakers=3,
+                overlap_prob=0.15)
+            t0 = time.time()
             hyp_turns = diar(audio)
-            d = der(turns_to_rttm(turns), hyp_turns)
-            ders.append(round(d, 4))
-            print(json.dumps({"convo": i, "der": ders[-1]}), flush=True)
+            der_conds[f"long_{args.long_minutes}min_3spk"] = round(
+                der(turns_to_rttm(turns), hyp_turns), 4)
+            der_conds["long_wall_s"] = round(time.time() - t0, 1)
+            print(json.dumps({"cond": "long", "minutes": args.long_minutes,
+                              "der": der_conds[
+                                  f"long_{args.long_minutes}min_3spk"],
+                              "wall_s": der_conds["long_wall_s"]}),
+                  flush=True)
     except Exception as exc:  # diarization must not sink the ASR numbers
         print(f"diarization eval failed: {exc}", file=sys.stderr)
 
-    try:
-        from manual_whisper_tpu.models.diarize import load_embedding_params
-        emb_trained = load_embedding_params() is not None
-    except Exception:
-        emb_trained = False
-    der_note = (
-        ("segmentation: trained synth checkpoint "
-         "(tools/train_synth_vad.py); " if vad is not None
-         else "segmentation: randomly initialized; ")
-        + ("speaker embeddings: trained synth checkpoint "
-           "(tools/train_synth_embed.py)" if emb_trained
-           else "speaker embeddings: randomly initialized (the "
-           "conversation fixture's separable registers keep "
-           "random-projection embeddings clusterable)"))
     summary = {
-        "task": "synthetic tone-language, full pipeline "
+        "task": "synthetic tone-language v2 (56-word lexicon, 4-8-word "
+                "utterances), full pipeline "
                 "(VAD->chunk->mel->encode->decode->cleanup)",
         "checkpoint": str(ckpt),
         "beam_size": args.beam,
-        "files": args.files,
-        "mean_wer": round(wer_sum / max(args.files, 1), 4),
-        "mean_cer": round(cer_sum / max(args.files, 1), 4),
+        "files_per_cond": args.files,
+        "wer_by_snr": by_snr,
+        "mean_wer": by_snr["clean"]["mean_wer"],
+        "mean_cer": by_snr["clean"]["mean_cer"],
+        "word_timing": timing,
         "corpus_rtf": round(total_audio / max(total_wall, 1e-9), 2),
         "vad": "trained segmentation" if vad is not None else "energy",
-        "der": {"convos": len(ders),
-                "mean_der": round(sum(ders) / len(ders), 4) if ders
-                else None,
-                "note": der_note},
+        "der": der_conds,
         "worst": sorted(rows, key=lambda r: -r["wer"])[:3],
     }
     Path(args.out).write_text(json.dumps(summary, indent=2,
                                          ensure_ascii=False) + "\n")
-    print(json.dumps({k: summary[k] for k in
-                      ("mean_wer", "mean_cer", "corpus_rtf")}))
+    print(json.dumps({"wer_by_snr": by_snr, "der": der_conds,
+                      "word_timing": timing}, ensure_ascii=False))
     print(f"wrote {args.out}")
     return 0
 

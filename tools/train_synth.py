@@ -59,9 +59,10 @@ def main() -> int:
 
     cfg = MODEL_CONFIGS["test"]          # float32, d=64, 2+2 layers
     tk = make_test_tokenizer()
-    window = cfg.n_audio_ctx * 2 * 160   # 1.2 s at 16 kHz
+    window = cfg.n_audio_ctx * 2 * 160   # 3.0 s at 16 kHz
     window_sec = window / 16000.0
-    seq_len = 28
+    # 4-token prefix + up to ~9 two-char words x (" " + 2 chars) + EOT
+    seq_len = 36
     prefix = tk.sot_sequence(language="en", task="transcribe",
                              without_timestamps=True)
     p = len(prefix)
@@ -128,7 +129,7 @@ def main() -> int:
     while len(corpus) < args.n_train:
         batch_files, batch_words = [], []
         for _ in range(128):
-            utts = [sample_text(data_rng, 1, 3)
+            utts = [sample_text(data_rng, 1, 8)
                     for _ in range(int(data_rng.integers(2, 5)))]
             audio, words_t = render_file_with_times(
                 utts, seed=args.seed * 613 + file_i)
