@@ -53,9 +53,9 @@ def test_tokens_fit_training_seq_len():
 
 
 def test_render_file_transcript_order():
-    utts = [["bo", "da"], ["su"], ["ta", "ki", "lu"]]
+    utts = [["bo", "da"], ["sa"], ["ta", "ki", "la"]]
     audio, text = render_file(utts, seed=0)
-    assert text == "bo da su ta ki lu"
+    assert text == "bo da sa ta ki la"
     # silence gaps exist between utterances (VAD separability)
     assert len(audio) > sum(len(u) for u in utts) * int(
         (WORD_SEC + GAP_SEC) * 16000)

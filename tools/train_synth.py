@@ -112,7 +112,9 @@ def main() -> int:
             chunk = np.zeros((cap, vwin), np.float32)
             n = min(cap, len(rows) - lo)
             chunk[:n] = np.stack(rows[lo: lo + n])
-            lp = pyannet_forward(vad.params, jnp.asarray(chunk), vad.cfg)
+            # numpy chunk stays uncommitted: the forward runs where the
+            # (CPU-committed) VAD params live, even on a TPU platform
+            lp = pyannet_forward(vad.params, chunk, vad.cfg)
             probs.extend(np.asarray(powerset_to_speech_prob(lp))[:n])
         out = []
         for start, n_win, n_samples in meta:
@@ -179,12 +181,22 @@ def main() -> int:
         mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=cfg.n_mels)
         return mel, jnp.asarray(tokens), jnp.asarray(mask)
 
-    params = init_params(jax.random.PRNGKey(args.seed), cfg)
-    optimizer = optax.adamw(
-        optax.warmup_cosine_decay_schedule(
-            0.0, args.lr, warmup_steps=50, decay_steps=args.steps),
-        weight_decay=1e-4)
-    state = init_train_state(params, optimizer)
+    # init on the host CPU: per-leaf jax.random / zeros_like calls would
+    # each be a separate axon-TPU dispatch; the chip should see only the
+    # jitted train step (tpu-env quirk: serial tiny-compile stall)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_params(jax.random.PRNGKey(args.seed), cfg)
+        optimizer = optax.adamw(
+            optax.warmup_cosine_decay_schedule(
+                0.0, args.lr, warmup_steps=50, decay_steps=args.steps),
+            weight_decay=1e-4)
+        state = init_train_state(jax.device_get(params), optimizer)
+    if args.platform == "tpu":
+        import dataclasses as _dc
+        dev = jax.devices()[0]
+        state = _dc.replace(state,
+                            params=jax.device_put(state.params, dev),
+                            opt_state=jax.device_put(state.opt_state, dev))
     step_fn = make_train_step(cfg, optimizer)
 
     t0 = time.time()

@@ -37,7 +37,11 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=23)
     ap.add_argument("--out", default=".weights/facebook--wav2vec2-base-960h")
-    ap.add_argument("--platform", default="tpu", help="tpu (auto) or cpu")
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (default: the 2-layer model trains in "
+                         "minutes and the axon backend compiles "
+                         "lax.scan-heavy programs pathologically slowly) "
+                         "or tpu")
     args = ap.parse_args()
 
     import jax
@@ -95,14 +99,22 @@ def main() -> int:
         ys[i, : len(labels)] = labels
         yp[i, : len(labels)] = 0.0
 
-    params = init_wav2vec2_params(jax.random.PRNGKey(args.seed), cfg)
+    # init on the host CPU (tpu-env quirk: serial tiny-compile stall)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_wav2vec2_params(jax.random.PRNGKey(args.seed), cfg)
+    params = jax.device_get(params)
     warmup = min(50, max(1, args.steps // 10))
     optimizer = optax.adamw(
         optax.warmup_cosine_decay_schedule(
             0.0, args.lr, warmup_steps=warmup,
             decay_steps=max(args.steps, warmup + 1)),
         weight_decay=1e-4)
-    opt_state = optimizer.init(params)
+    with jax.default_device(jax.devices("cpu")[0]):
+        opt_state = optimizer.init(params)
+    if args.platform == "tpu":
+        dev = jax.devices()[0]
+        params = jax.device_put(params, dev)
+        opt_state = jax.device_put(opt_state, dev)
 
     @jax.jit
     def step_fn(params, opt_state, clips, labels, label_pad):

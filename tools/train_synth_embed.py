@@ -92,10 +92,16 @@ def main() -> int:
         xs[i] = sample_clip(v, args.seed * 65537 + i)
         ys[i] = v
 
-    params = init_embedding_params(jax.random.PRNGKey(args.seed), cfg)
-    head = (np.asarray(jax.random.normal(jax.random.PRNGKey(args.seed + 1),
-                                         (cfg.embed_dim, args.voices)))
-            / np.sqrt(cfg.embed_dim)).astype(np.float32)
+    # init on the host CPU: each jax.random call in the init loop would
+    # otherwise be its own ~35 s axon-TPU compile (serial tiny-compile
+    # stall); the chip sees ONE program — the jitted step below
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_embedding_params(jax.random.PRNGKey(args.seed), cfg)
+        head = (np.asarray(jax.random.normal(
+                    jax.random.PRNGKey(args.seed + 1),
+                    (cfg.embed_dim, args.voices)))
+                / np.sqrt(cfg.embed_dim)).astype(np.float32)
+    params = jax.device_get(params)
     trainable = {"model": params, "head": head}
 
     warmup = min(50, max(1, args.steps // 10))
@@ -104,7 +110,12 @@ def main() -> int:
             0.0, args.lr, warmup_steps=warmup,
             decay_steps=max(args.steps, warmup + 1)),
         weight_decay=1e-4)
-    opt_state = optimizer.init(trainable)
+    with jax.default_device(jax.devices("cpu")[0]):
+        opt_state = optimizer.init(trainable)
+    if args.platform == "tpu":
+        dev = jax.devices()[0]
+        trainable = jax.device_put(trainable, dev)
+        opt_state = jax.device_put(opt_state, dev)
 
     @jax.jit
     def step_fn(trainable, opt_state, clips, labels):

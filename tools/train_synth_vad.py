@@ -67,11 +67,15 @@ def main() -> int:
 
     cfg = PyanNetConfig()
     window = int(cfg.window_sec * SAMPLE_RATE)
-    params = init_pyannet_params(jax.random.PRNGKey(args.seed), cfg)
-
-    # output frame count + frame->time mapping from one real forward
-    n_frames = int(pyannet_forward(
-        params, jnp.zeros((1, window), jnp.float32), cfg).shape[1])
+    # init + frame-count probe on the host CPU (tpu-env quirk: serial
+    # tiny-compile stall; the probe's batch-1 BiLSTM alone is a
+    # multi-minute axon compile)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_pyannet_params(jax.random.PRNGKey(args.seed), cfg)
+        # output frame count + frame->time mapping from one real forward
+        n_frames = int(pyannet_forward(
+            params, jnp.zeros((1, window), jnp.float32), cfg).shape[1])
+    params = jax.device_get(params)
     frame_t = (np.arange(n_frames) + 0.5) * (cfg.window_sec / n_frames)
     cls_of = {spk: i for i, spk in enumerate(POWERSET_CLASSES)}
 
@@ -96,9 +100,11 @@ def main() -> int:
     i = 0
     while len(xs) < args.n_windows:
         i += 1
-        if i % 2:  # two-speaker conversation
-            audio, turns = render_conversation(n_turns=8,
-                                               seed=args.seed * 7919 + i)
+        if i % 2:  # multi-speaker conversation (v2: 2-3 spk, overlaps)
+            audio, turns = render_conversation(
+                n_turns=8, seed=args.seed * 7919 + i,
+                n_speakers=2 + (i // 2) % 2,
+                overlap_prob=0.25 if i % 4 == 1 else 0.0)
             # window-local speaker index = order of appearance
             spans = {}
             order = {}
@@ -106,7 +112,7 @@ def main() -> int:
                 idx = order.setdefault(t.speaker, len(order))
                 spans.setdefault(idx, []).append((t.start, t.end))
         else:      # single speaker, multi-utterance file
-            utts = [sample_text(rng, 1, 3)
+            utts = [sample_text(rng, 1, 8)
                     for _ in range(int(rng.integers(3, 7)))]
             audio, words_t = render_file_with_times(
                 utts, seed=args.seed * 104729 + i)
@@ -132,13 +138,23 @@ def main() -> int:
             0.0, args.lr, warmup_steps=warmup,
             decay_steps=max(args.steps, warmup + 1)),
         weight_decay=1e-4)
-    opt_state = optimizer.init(params)
+    with jax.default_device(jax.devices("cpu")[0]):
+        opt_state = optimizer.init(params)
+    if args.platform == "tpu":
+        dev = jax.devices()[0]
+        params = jax.device_put(params, dev)
+        opt_state = jax.device_put(opt_state, dev)
 
     @jax.jit
     def step_fn(params, opt_state, audio, labels, gain, noise_key):
-        # light augmentation mirrors tools/train_synth.py
-        audio = audio * gain[:, None] + 0.002 * jax.random.normal(
-            noise_key, audio.shape)
+        # augmentation: random gain plus noise up to roughly the 0 dB SNR
+        # condition the eval sweeps (run_synth_eval --files x snr0), so
+        # speech probabilities stay calibrated under heavy noise
+        k1, k2 = jax.random.split(noise_key)
+        noise_std = jax.random.uniform(k1, (audio.shape[0], 1),
+                                       jnp.float32, 0.001, 0.1)
+        audio = audio * gain[:, None] + noise_std * jax.random.normal(
+            k2, audio.shape)
 
         def loss_fn(p):
             logp = pyannet_forward(p, audio, cfg)
