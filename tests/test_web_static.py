@@ -31,6 +31,21 @@ def test_dom_ids_referenced_by_js_exist_in_html():
         assert not missing, f"{script} references missing ids: {missing}"
 
 
+def test_player_id_maps_exist_in_html():
+    """attachPlayer() receives role->id maps (web/player.js); every id in
+    those maps must exist in index.html or the player throws at init."""
+    html_ids = set(re.findall(r'id="([^"]+)"', read("index.html")))
+    main = read("main.js")
+    maps = re.findall(r'attachPlayer\(\{(.*?)\}\)', main, re.S)
+    assert len(maps) >= 2, "expected preview and result players"
+    for blob in maps:
+        ids = set(re.findall(r':\s*"([\w-]+)"', blob))
+        missing = ids - html_ids
+        assert not missing, f"attachPlayer map references missing {missing}"
+    # the module itself must exist and export the wiring function
+    assert "export function attachPlayer" in read("player.js")
+
+
 def test_js_class_selectors_exist_in_html():
     html = read("index.html")
     js = read("main.js")

@@ -33,6 +33,9 @@ const STRINGS = {
         status_processing: "转写中（通常需要几分钟）…",
         status_second_pass: "正在复核可疑片段…",
         status_done: "转写完成",
+        meter_upload: "传输进度",
+        meter_transcribe: "转写进度",
+        task_label: "任务",
         result_title: "转写结果",
         download_md: "下载 Markdown",
         download_json: "下载 JSON",
@@ -74,6 +77,9 @@ const STRINGS = {
         status_processing: "Transcribing (this usually takes a few minutes)…",
         status_second_pass: "Re-checking suspicious ranges…",
         status_done: "Done",
+        meter_upload: "Upload progress",
+        meter_transcribe: "Transcribe progress",
+        task_label: "Task",
         result_title: "Transcript",
         download_md: "Download Markdown",
         download_json: "Download JSON",

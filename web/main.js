@@ -8,6 +8,7 @@ import { createTranscription, pollTranscriptionStatus, uploadFile }
     from "./apiService.js";
 import { AudioRecorder } from "./audioRecorder.js";
 import { applyTranslations, currentLanguage, setLanguage, t } from "./i18n.js";
+import { attachPlayer } from "./player.js";
 import { clampPercent, extractFileBaseName, formatBytes, formatTime }
     from "./utils.js";
 
@@ -28,7 +29,12 @@ const state = {
     result: null,
     baseName: "transcript",
     confirmAction: null,
+    elapsedTimer: null,
+    taskStart: 0,
 };
+
+// custom players (preview + result playback), wired on DOM ready
+const players = {};
 
 // ---------------------------------------------------------------------------
 // wiring
@@ -69,14 +75,19 @@ document.addEventListener("DOMContentLoaded", () => {
     $("download-json").addEventListener("click", () => downloadResult("json"));
     $("new-task-btn").addEventListener("click", resetToInput);
 
-    // playback speed cycle on the preview player (1 -> 1.25 -> 1.5 -> 2
-    // -> 0.75), same ladder as the reference player
-    const speeds = [1, 1.25, 1.5, 2, 0.75];
-    let speedIdx = 0;
-    $("speed-btn").addEventListener("click", () => {
-        speedIdx = (speedIdx + 1) % speeds.length;
-        $("audio-preview").playbackRate = speeds[speedIdx];
-        $("speed-btn").textContent = `${speeds[speedIdx]}×`;
+    // custom players: play/pause, draggable seek, time labels, speed
+    // cycle (1 -> 1.25 -> 1.5 -> 2 -> 0.75), audio download — the same
+    // affordance set as the reference's setupCustomPlayer, for both the
+    // input preview and the result-side playback
+    players.preview = attachPlayer({
+        audio: "audio-preview", play: "pv-play", timeNow: "pv-now",
+        timeTotal: "pv-total", speed: "pv-speed", download: "pv-download",
+        track: "pv-track", fill: "pv-fill", thumb: "pv-thumb",
+    });
+    players.result = attachPlayer({
+        audio: "result-audio", play: "rp-play", timeNow: "rp-now",
+        timeTotal: "rp-total", speed: "rp-speed", download: "rp-download",
+        track: "rp-track", fill: "rp-fill", thumb: "rp-thumb",
     });
     $("remove-file-btn").addEventListener("click", () =>
         openConfirm(t("remove_confirm"), removeSelectedFile));
@@ -154,10 +165,7 @@ function selectFile(file) {
     state.file = file;
     state.baseName = extractFileBaseName(file.name);
     renderFileInfo();
-    const player = $("audio-preview");
-    player.src = URL.createObjectURL(file);
-    player.playbackRate = 1;
-    $("speed-btn").textContent = "1×";
+    players.preview.setSource(URL.createObjectURL(file), file.name);
     $("preview-row").hidden = false;
     $("start-btn").disabled = false;
 }
@@ -227,24 +235,54 @@ async function startTranscriptionTask() {
     setStatus(t("status_uploading"));
     state.lastPercent = 0;
     state.percentHint = 0;
+    setMeter("upload-meter", 0);
+    setMeter("transcribe-meter", 0);
+    $("task-line").textContent = "";
+    startElapsedTicker();
 
     try {
         const { fileUrl } = await uploadFile(file, (pct) => {
             setPercent(pct * 0.2);
+            setMeter("upload-meter", pct);
         });
+        setMeter("upload-meter", 100);
         setStep("transcribe");
         setStatus(t("status_queued"));
         const created = await createTranscription(
             fileUrl, file.name, $("language-select").value);
+        $("task-line").textContent = `${t("task_label")}: ${created.id}`;
 
         const final = await pollTranscriptionStatus(created.id,
             renderPredictionProgress);
         setStep("process");
         finishProcess(final);
     } catch (err) {
+        stopElapsedTicker();
         showSection("input");
         showError(err.message || String(err));
     }
+}
+
+function startElapsedTicker() {
+    state.taskStart = Date.now();
+    $("elapsed-time").textContent = "";
+    stopElapsedTicker();
+    state.elapsedTimer = setInterval(() => {
+        const sec = Math.floor((Date.now() - state.taskStart) / 1000);
+        $("elapsed-time").textContent = `(${formatTime(sec)})`;
+    }, 1000);
+}
+
+function stopElapsedTicker() {
+    if (state.elapsedTimer) {
+        clearInterval(state.elapsedTimer);
+        state.elapsedTimer = null;
+    }
+}
+
+function setMeter(id, pct) {
+    $(id).style.width = `${clampPercent(pct)}%`;
+    $(`${id}-num`).textContent = `${Math.round(clampPercent(pct))}%`;
 }
 
 function renderPredictionProgress(payload) {
@@ -258,6 +296,7 @@ function renderPredictionProgress(payload) {
     const computed = computeTranscribePercent(payload.status || "starting",
         progress);
     setPercent(20 + computed * 0.75);
+    setMeter("transcribe-meter", computed);
     const tail = progress.logsTail || [];
     $("log-tail").textContent = tail.join("\n");
 }
@@ -313,10 +352,21 @@ function setStep(step) {
 // ---------------------------------------------------------------------------
 
 function finishProcess(final) {
+    stopElapsedTicker();
     setPercent(100);
+    setMeter("transcribe-meter", 100);
     setStatus(t("status_done"));
     state.result = final.output || {};
     showSection("result");
+
+    // result-side playback of the source audio next to the transcript
+    if (state.file) {
+        players.result.setSource(URL.createObjectURL(state.file),
+            state.file.name);
+        $("result-player-row").hidden = false;
+    } else {
+        $("result-player-row").hidden = true;
+    }
 
     $("transcript-view").textContent = state.result.markdown || "";
 
@@ -359,8 +409,12 @@ async function copyTranscript() {
 function resetToInput() {
     state.file = null;
     state.result = null;
+    stopElapsedTicker();
+    players.preview.reset();
+    players.result.reset();
     $("start-btn").disabled = true;
     $("preview-row").hidden = true;
+    $("result-player-row").hidden = true;
     renderFileInfo();
     showSection("input");
 }
