@@ -5,10 +5,13 @@ Prints ONE JSON line.  Required keys {"metric", "value", "unit",
 "vs_baseline"} carry the BASELINE.json headline — real-time factor (audio
 seconds transcribed per wall second) for the full pipeline (VAD -> chunk
 -> fused log-mel -> encoder -> batched KV-cache greedy decode) on Whisper
-large-v3-shaped weights.  Weights are random (no hub access in this
-environment): identical compute graph, FLOPs and memory traffic as a
-converted checkpoint.  Decode length is pinned to a realistic 30 s-segment
-token budget so the random model's non-termination doesn't skew RTF.
+large-v3-shaped weights.  Weights are synthetic (no hub access in this
+environment): identical shapes, dtypes, FLOPs and HBM traffic as a
+converted checkpoint — matmul timing is value-independent, so the int8
+blocks are synthesized zero-filled (init_params_host) to keep model
+construction off this host's erratically slow memory path.  Decode length
+is pinned to a realistic 30 s-segment token budget so the synthetic
+model's non-termination doesn't skew RTF.
 
 Budget safety (VERDICT.md r2 weak #2): a watchdog thread holds a hard
 wall-clock deadline (BENCH_BUDGET_S, default 520 s — under the driver's
@@ -86,6 +89,8 @@ def _watchdog(deadline: float) -> None:
     else:
         head = dict(head)
     head["watchdog"] = f"budget exhausted during stage: {_STATE['stage']}"
+    if _STATE.get("canary") is not None:
+        head.setdefault("canary_s", _STATE["canary"])
     print(json.dumps(head), flush=True)
     os._exit(0)
 
@@ -222,6 +227,20 @@ def main() -> int:
     deadline = _T_START + budget_s
     threading.Thread(target=_watchdog, args=(deadline,), daemon=True).start()
 
+    # canary: one tiny matmul compile+run.  Healthy tunnel ~2 s; a
+    # wedged backend (e.g. a previous client killed mid-compile) shows
+    # up here as 10-100x that, which the artifact then records so an
+    # off-baseline headline is attributable (see "canary_s" field).
+    _stage("canary")
+    import jax
+    import jax.numpy as jnp
+    t0 = time.time()
+    x = jnp.ones((1024, 1024))
+    np.asarray(jax.jit(lambda a: a @ a)(x))
+    canary_s = round(time.time() - t0, 1)
+    _STATE["canary"] = canary_s
+    _log(f"canary compile+run {canary_s}s")
+
     _stage("load_model")
     from manual_whisper_tpu.pipeline import load_model
 
@@ -255,13 +274,23 @@ def main() -> int:
             "repeats": repeats_done,
             "audio_s": seconds,
             "vad": vad_label,
+            "canary_s": canary_s,
         }
 
     # warmup: compile every program shape (mel, encode, prefill, decode
-    # loop, VAD) — counted against the budget but not the metric
+    # loop, VAD) — counted against the budget but not the metric.  The
+    # warmup transcribe is itself a full pipeline run, so its RTF becomes
+    # a flagged fallback headline: if axon compile-time variance eats the
+    # whole budget (warmup measured 200-440 s run-to-run for identical
+    # programs), the artifact still carries a real number instead of an
+    # "incomplete" zero.
     _stage("warmup (compiles)")
+    t0 = time.time()
     model.transcribe(audio, batch_size=batch_size, language="zh",
                      temperature=(0.0,))
+    warm = headline(duration / (time.time() - t0), 0)
+    warm["includes_compile"] = True
+    _STATE["headline"] = warm
 
     # best-of-N: host<->device link latency varies run to run; the best
     # run reflects the pipeline, not transient link noise

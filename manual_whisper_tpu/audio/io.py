@@ -42,8 +42,8 @@ class UnsupportedFormatError(RuntimeError):
                    "请先将音频转换为 WAV 格式（16kHz 单声道最佳）再上传，"
                    "或在服务器上安装 ffmpeg")
         super().__init__(
-            f"cannot decode {suffix!r}: built-in decoder supports .wav "
-            "only; install ffmpeg for m4a/mp3/flac/ogg (the reference "
+            f"cannot decode {suffix!r}: built-in decoders support .wav and "
+            ".flac; install ffmpeg for m4a/mp3/ogg/... (the reference "
             "pipeline also requires ffmpeg for these formats)")
 
 
@@ -51,6 +51,10 @@ def decodable_suffixes() -> tuple:
     """Audio suffixes this host can decode right now."""
     if shutil.which("ffmpeg"):
         return (".wav",) + FFMPEG_SUFFIXES
+    from .native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "mwx_decode_flac"):
+        return (".wav", ".flac")
     return (".wav",)
 
 
@@ -168,6 +172,20 @@ def load_audio(path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
         if sr != sample_rate:
             mono = resample_poly(mono, sr, sample_rate)
         return mono.astype(np.float32)
+
+    if path.suffix.lower() == ".flac":
+        # native C++ FLAC decoder (native/mwx_flac.cpp) — the one
+        # compressed format owned end-to-end without ffmpeg
+        try:
+            from .native import native_decode_flac
+            decoded = native_decode_flac(path.read_bytes())
+        except ValueError:
+            decoded = None  # malformed stream: let ffmpeg try if present
+        if decoded is not None:
+            mono, sr = decoded
+            if sr != sample_rate:
+                mono = resample_poly(mono, sr, sample_rate)
+            return mono.astype(np.float32)
 
     if shutil.which("ffmpeg"):
         return _ffmpeg_decode(str(path), sample_rate)

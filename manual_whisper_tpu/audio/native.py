@@ -41,7 +41,11 @@ def get_lib():
         if _load_attempted:
             return None
         _load_attempted = True
-        if not _LIB_PATH.exists() and not _try_build():
+        stale = _LIB_PATH.exists() and any(
+            src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+            for src in _LIB_DIR.glob("*.cpp"))
+        if (not _LIB_PATH.exists() or stale) and not _try_build() \
+                and not _LIB_PATH.exists():
             return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
@@ -61,6 +65,9 @@ def get_lib():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        if hasattr(lib, "mwx_decode_flac"):  # absent in pre-FLAC builds
+            lib.mwx_decode_flac.restype = ctypes.c_int
+            lib.mwx_decode_flac.argtypes = lib.mwx_decode_wav.argtypes
         lib.mwx_free.restype = None
         lib.mwx_free.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -79,6 +86,25 @@ def native_decode_wav(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
                             ctypes.byref(out_len), ctypes.byref(sr))
     if rc != 0:
         raise ValueError(f"mwx_decode_wav failed with code {rc}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    finally:
+        lib.mwx_free(out)
+    return arr, int(sr.value)
+
+
+def native_decode_flac(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode FLAC bytes -> (mono float32, sample_rate), or None if no lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mwx_decode_flac"):
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    out_len = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    rc = lib.mwx_decode_flac(data, len(data), ctypes.byref(out),
+                             ctypes.byref(out_len), ctypes.byref(sr))
+    if rc != 0:
+        raise ValueError(f"mwx_decode_flac failed with code {rc}")
     try:
         arr = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
     finally:

@@ -24,13 +24,24 @@ from .text import INITIAL_PROMPT, clean_result_segments, format_transcript
 SAMPLE_RATE = 16000
 
 
+def _backend_name() -> str:
+    """The actual JAX backend ("tpu"/"cpu"/...), for honest run labels."""
+    import jax
+    try:
+        name = jax.default_backend()
+    except Exception:
+        return "unknown"
+    return "tpu" if name == "axon" else name
+
+
 def transcribe_audio(audio_file: str, hf_token=None,
-                     model_size=None, batch_size=None, device="tpu",
+                     model_size=None, batch_size=None, device=None,
                      compute_type="bfloat16"):
     """Pipeline orchestration (reference: transcribe_audio,
     transcribe.py:98-183): returns (result_dict, audio_duration_sec)."""
     model_size = model_size or config.get_env("WHISPER_MODEL", "large-v3")
     batch_size = batch_size or config.get_int("BATCH_SIZE", 4)
+    device = device or _backend_name()
 
     print(f"🎙️ 正在转写: {audio_file}")
     print(f"📊 配置: 模型={model_size} | 设备={device} | "
@@ -120,7 +131,7 @@ def main(argv=None) -> int:
     total_time = time.time() - total_start
     format_transcript(result, audio_file, output_file, audio_duration,
                       total_time, model_size=model_size,
-                      compute_type="bfloat16", device="tpu")
+                      compute_type="bfloat16", device=_backend_name())
 
     print("\n🎉 转写完成!")
     print(f"⏱️ 总耗时: {total_time:.1f}s | 音频时长: {audio_duration:.0f}s "

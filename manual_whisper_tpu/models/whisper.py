@@ -155,6 +155,114 @@ def _stack_blocks(keys, d, dtype, cross):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
 
+def init_params_host(seed: int, cfg: WhisperConfig,
+                     quantize_int8: bool = False) -> Params:
+    """Numpy twin of init_params (same tree structure and scales).
+
+    For billion-param synthetic-weight loads: threefry sampling is
+    minutes on a single host core, and the eager per-leaf device path
+    queues dozens of tiny compiles on some backends (each a multi-second
+    stall).  Numpy generates the same-shaped pytree on the host; the
+    arrays ship to the accelerator once, at first jitted use.
+
+    ``quantize_int8`` emits the block matmul weights directly in the
+    quantized {q: int8, s: f32} form ops.quant.quantize_params would
+    produce — one random byte per weight, no float intermediates.  (The
+    f32->bf16 cast paths churn gigabytes of temporaries, which this
+    host's kernel services at an erratic 10-100x slowdown; int8 synthesis
+    sidesteps that entirely for the dominant tensors.)"""
+    import ml_dtypes
+    bf16 = cfg.dtype == jnp.bfloat16
+    dtype = ml_dtypes.bfloat16 if bf16 else np.dtype(cfg.dtype)
+    rng = np.random.default_rng(seed)
+    d = cfg.n_audio_state
+
+    def cast(x_f32):
+        if not bf16:
+            return x_f32.astype(dtype)
+        # round-to-nearest-even f32 -> bf16 via integer ops: ml_dtypes'
+        # astype is a scalar loop (minutes for billion-param configs),
+        # this is three vectorized passes (no NaN/inf in random weights)
+        u = np.ascontiguousarray(x_f32, np.float32).view(np.uint32)
+        r = (u + 0x7FFF + ((u >> 16) & 1)) >> 16
+        return r.astype(np.uint16).view(ml_dtypes.bfloat16)
+
+    def dense(d_in, d_out):
+        if quantize_int8:
+            # zero-filled int8: calloc'd pages are zero-page backed, so
+            # synthesis is near-free even for billions of weights (this
+            # host's kernel services written-page churn erratically
+            # slowly).  TPU matmul timing is value-independent — shapes,
+            # dtypes and HBM bytes are identical to a real quantized
+            # checkpoint — and the residual stream keeps activations
+            # well-defined (blocks add zero; norms see the nonzero conv/
+            # embedding path), so the decode loop runs its full token
+            # budget exactly like any other non-terminating random model.
+            q = np.zeros((d_in, d_out), np.int8)
+            s = np.full((d_out,), 1.0 / (73.9 * math.sqrt(d_in)),
+                        np.float32)
+            return {"q": q, "s": s}
+        return cast(rng.standard_normal((d_in, d_out), np.float32)
+                    * (1.0 / math.sqrt(d_in)))
+
+    def attn():
+        return {
+            "q_w": dense(d, d), "q_b": np.zeros(d, dtype),
+            "k_w": dense(d, d),                    # no k bias
+            "v_w": dense(d, d), "v_b": np.zeros(d, dtype),
+            "o_w": dense(d, d), "o_b": np.zeros(d, dtype),
+        }
+
+    def ln():
+        return {"g": np.ones(d, dtype), "b": np.zeros(d, dtype)}
+
+    def block(cross):
+        blk = {
+            "ln1": ln(), "attn": attn(), "ln2": ln(),
+            "mlp": {"fc1_w": dense(d, 4 * d),
+                    "fc1_b": np.zeros(4 * d, dtype),
+                    "fc2_w": dense(4 * d, d),
+                    "fc2_b": np.zeros(d, dtype)},
+        }
+        if cross:
+            blk["lnx"] = ln()
+            blk["xattn"] = attn()
+        return blk
+
+    def stack(n, cross):
+        blocks = [block(cross) for _ in range(n)]
+        return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+
+    def emb(n, scale):
+        if quantize_int8:
+            # zero embeddings keep synthesis off the erratic host memory
+            # path; decode argmax then repeats a sub-EOT token id, so the
+            # loop still runs its full budget (the timing contract)
+            return np.zeros((n, d), dtype)
+        return cast(rng.standard_normal((n, d), np.float32) * scale)
+
+    conv_scale = 1.0 / math.sqrt(3 * cfg.n_mels)
+    return {
+        "encoder": {
+            "pos": cast(sinusoids(cfg.n_audio_ctx, d)),
+            "conv1_w": cast(rng.standard_normal((3, cfg.n_mels, d),
+                                                np.float32) * conv_scale),
+            "conv1_b": np.zeros(d, dtype),
+            "conv2_w": cast(rng.standard_normal((3, d, d), np.float32)
+                            * (1.0 / math.sqrt(3 * d))),
+            "conv2_b": np.zeros(d, dtype),
+            "blocks": stack(cfg.n_audio_layer, cross=False),
+            "ln_post": ln(),
+        },
+        "decoder": {
+            "tok_emb": emb(cfg.n_vocab, 0.02),
+            "pos_emb": emb(cfg.n_text_ctx, 0.02),
+            "blocks": stack(cfg.n_text_layer, cross=True),
+            "ln": ln(),
+        },
+    }
+
+
 def init_params(key, cfg: WhisperConfig) -> Params:
     """Random-weight model (tests & synthetic benchmarks)."""
     dtype = cfg.dtype

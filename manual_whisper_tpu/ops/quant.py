@@ -25,8 +25,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """Symmetric per-output-channel int8 quantization of [..., K, N]."""
+def quantize_weight(w: Any) -> Dict[str, Any]:
+    """Symmetric per-output-channel int8 quantization of [..., K, N].
+
+    Numpy inputs quantize in numpy and STAY on the host (int8 + scales
+    then ship half the bytes of the bf16 original at first jitted use,
+    and no quantization programs hit the accelerator compile path)."""
+    if isinstance(w, np.ndarray):
+        w32 = np.asarray(w, np.float32)
+        absmax = np.max(np.abs(w32), axis=-2, keepdims=True)
+        scale = np.maximum(absmax / 127.0, 1e-10)
+        q = np.clip(np.round(w32 / scale), -127, 127).astype(np.int8)
+        return {"q": q, "s": scale[..., 0, :].astype(np.float32)}
     w32 = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)   # [..., 1, N]
     scale = jnp.maximum(absmax / 127.0, 1e-10)
@@ -64,7 +74,8 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
         for name, sub in blocks.items():
             if isinstance(sub, dict):
                 out[name] = {
-                    k: (quantize_weight(v) if k in _QUANT_KEYS else v)
+                    k: (quantize_weight(v)
+                        if k in _QUANT_KEYS and not is_quantized(v) else v)
                     for k, v in sub.items()
                 }
             else:

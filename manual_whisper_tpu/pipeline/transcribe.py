@@ -105,6 +105,14 @@ class TranscribePipeline:
         # frame (30 s for real checkpoints; smaller for the test config)
         self.window_samples = cfg.n_audio_ctx * 2 * 160
         self.window_sec = self.window_samples / 16000.0
+        # encoder attention path.  Default False: XLA's fused attention
+        # beats the Pallas flash kernel on the 1500-frame encoder at
+        # large-v3 batch 16 (A/B on v5e: 542 vs 894 ms/forward int8 —
+        # same outcome as the decode-kernel A/B, and the flash program
+        # also compiles ~8x slower).  Flip via asr_options
+        # {"encoder_flash": True} or MWX_ENCODER_FLASH=1 for A/B runs.
+        self.encoder_flash = bool(self.asr_options.get(
+            "encoder_flash", config.get_bool("MWX_ENCODER_FLASH", False)))
 
     # -- helpers ------------------------------------------------------------
     def _decoder(self, language: str, temperature,
@@ -168,7 +176,7 @@ class TranscribePipeline:
                 audio_i16,
                 NamedSharding(self.mesh, PartitionSpec(DATA_AXIS, None)))
         return _encode_windows_jit(self.params, audio_i16, self.cfg,
-                                   self.cfg.n_mels, _on_tpu(),
+                                   self.cfg.n_mels, self.encoder_flash,
                                    self._use_pallas(windows))
 
     # -- public API ----------------------------------------------------------
@@ -180,7 +188,7 @@ class TranscribePipeline:
         clip = audio[: self.window_samples]
         window[: len(clip)] = clip
         mel = self._features(window[None])
-        xa = encode(self.params, mel, self.cfg, use_flash=_on_tpu())
+        xa = encode(self.params, mel, self.cfg, use_flash=self.encoder_flash)
         from ..models import decoder_forward
         sot = jnp.asarray([[self.tokenizer.special.sot]], jnp.int32)
         logits, _ = decoder_forward(self.params, sot, xa, self.cfg)
@@ -459,7 +467,15 @@ def load_model(name: str = "large-v3",
                 f"('{name}/config.json' + model.safetensors), or set "
                 "MWX_ALLOW_RANDOM_WEIGHTS=1 for synthetic-weight runs")
         cfg = MODEL_CONFIGS[name].with_dtype(dtype)
-        params = init_params(jax.random.PRNGKey(0), cfg)
+        # numpy host init: the per-leaf device path queues dozens of tiny
+        # accelerator compiles on some backends (measured: minutes of
+        # stall attributed to the next dispatch wait), and threefry on a
+        # single host core is minutes for billion-param configs.  For
+        # int8 the block weights are synthesized directly in quantized
+        # form — no float intermediates, half the transfer bytes.
+        from ..models.whisper import init_params_host
+        params = init_params_host(0, cfg,
+                                  quantize_int8=compute_type == "int8")
         tokenizer = make_test_tokenizer(cfg.num_languages)
     else:
         raise KeyError(f"unknown model {name!r}; options: "

@@ -116,3 +116,34 @@ def test_int8_cross_kv_decode_close_to_full():
             agree = sum(x == y for x, y in
                         zip(a.tokens[:n], b.tokens[:n])) / n
             assert agree > 0.5
+
+
+def test_init_params_host_matches_device_tree():
+    """init_params_host must mirror init_params' structure exactly —
+    same paths, shapes, dtypes — so the synthetic-bench model is the
+    same compute graph as a converted checkpoint (whisper.py)."""
+    from manual_whisper_tpu.models.whisper import init_params_host
+    cfg = MODEL_CONFIGS["test"]
+    dev = init_params(jax.random.PRNGKey(0), cfg)
+    host = init_params_host(0, cfg)
+    dev_s = jax.tree.map(lambda x: (x.shape, jnp.asarray(x).dtype), dev)
+    host_s = jax.tree.map(lambda x: (x.shape, jnp.asarray(x).dtype), host)
+    assert jax.tree.structure(dev_s) == jax.tree.structure(host_s)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a == b, dev_s, host_s))
+
+
+def test_init_params_host_int8_matches_quantize_params():
+    """quantize_int8=True must produce the exact tree quantize_params
+    would give (int8 q + f32 s on block matmuls, everything else raw)."""
+    from manual_whisper_tpu.models.whisper import init_params_host
+    cfg = MODEL_CONFIGS["test"]
+    ref = quantize_params(init_params(jax.random.PRNGKey(0), cfg))
+    host = init_params_host(0, cfg, quantize_int8=True)
+    ref_s = jax.tree.map(lambda x: (x.shape, jnp.asarray(x).dtype), ref)
+    host_s = jax.tree.map(lambda x: (x.shape, jnp.asarray(x).dtype), host)
+    assert jax.tree.structure(ref_s) == jax.tree.structure(host_s)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a == b, ref_s, host_s))
+    # quantize_params must pass pre-quantized blocks through untouched
+    again = quantize_params(host)
+    assert jax.tree.structure(jax.tree.map(jnp.shape, again)) == \
+        jax.tree.structure(jax.tree.map(jnp.shape, host))
