@@ -227,6 +227,34 @@ def main() -> int:
     deadline = _T_START + budget_s
     threading.Thread(target=_watchdog, args=(deadline,), daemon=True).start()
 
+    # reachability pre-check, in a SUBPROCESS: a dead tunnel (relay
+    # process gone) blocks jax.devices() forever — in-process that
+    # burns the whole budget before the watchdog reports a bare zero.
+    # The probe either exits quickly (healthy: ~5-10 s) or is killed at
+    # the cap, in which case the artifact names the infra failure and
+    # bench exits 0 immediately.  A killed probe is safe here: it never
+    # got past backend init, so no in-flight device state can wedge.
+    _stage("backend probe")
+    probe_cap = float(os.environ.get("BENCH_PROBE_CAP_S", "120"))
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=probe_cap, capture_output=True)
+    except subprocess.TimeoutExpired:
+        _STATE["done"] = True
+        print(json.dumps({
+            "metric": "rtf_bench_incomplete",
+            "value": 0.0,
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": 0.0,
+            "error": (f"accelerator backend unreachable: jax.devices() "
+                      f"blocked >{probe_cap:.0f}s in a fresh process "
+                      "(axon tunnel relay down?) — not a pipeline "
+                      "regression; rerun once the tunnel is restored"),
+        }), flush=True)
+        return 0
+
     # canary: one tiny matmul compile+run.  Healthy tunnel ~2 s; a
     # wedged backend (e.g. a previous client killed mid-compile) shows
     # up here as 10-100x that, which the artifact then records so an
