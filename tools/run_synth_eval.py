@@ -31,6 +31,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+class _Skip(Exception):
+    """Control-flow marker: --wer-only skips the align/DER sections."""
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=".synth_ckpt")
@@ -50,6 +54,9 @@ def main() -> int:
     ap.add_argument("--platform", default="cpu",
                     help="cpu (default) or tpu; env JAX_PLATFORMS is "
                          "pinned by the axon sitecustomize, config wins")
+    ap.add_argument("--wer-only", action="store_true",
+                    help="run only the WER/CER SNR sweep (ablation runs: "
+                         "beam-vs-greedy, trained-vs-energy VAD)")
     args = ap.parse_args()
 
     import jax
@@ -136,8 +143,10 @@ def main() -> int:
                         "mean_cer": round(cer_sum / max(args.files, 1), 4)}
 
     # -- word-timing accuracy of forced alignment (truth segments) -----------
-    timing = None
+    timing = {"skipped": "--wer-only"} if args.wer_only else None
     try:
+        if args.wer_only:
+            raise _Skip
         from manual_whisper_tpu.models.align import align, load_align_model
         amodel = load_align_model("en")
         maes_s, maes_e, f1s = [], [], []
@@ -165,13 +174,17 @@ def main() -> int:
                   "f1_80ms": round(float(np.mean(f1s)), 4),
                   "model": "trained synth wav2vec2-CTC "
                            "(tools/train_synth_align.py)"}
+    except _Skip:
+        pass
     except Exception as exc:  # alignment must not sink the ASR numbers
         print(f"alignment eval failed: {exc}", file=sys.stderr)
         timing = {"error": str(exc)}
 
     # -- DER: speaker-count / overlap conditions ------------------------------
-    der_conds = {}
+    der_conds = {"skipped": "--wer-only"} if args.wer_only else {}
     try:
+        if args.wer_only:
+            raise _Skip
         from manual_whisper_tpu.models.diarize import DiarizationPipeline
         diar = DiarizationPipeline()
         for cond, (n_spk, ov) in {
@@ -204,6 +217,8 @@ def main() -> int:
                                   f"long_{args.long_minutes}min_3spk"],
                               "wall_s": der_conds["long_wall_s"]}),
                   flush=True)
+    except _Skip:
+        pass
     except Exception as exc:  # diarization must not sink the ASR numbers
         print(f"diarization eval failed: {exc}", file=sys.stderr)
 
