@@ -12,6 +12,7 @@
 //
 // C ABI only; bound from Python with ctypes (audio/native.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -152,17 +153,24 @@ bool read_subframe(BitReader& br, uint32_t block_size, int bps,
     for (int i = 0; i < order; ++i) out[i] = br.sbits(ebps);
     res.resize(block_size - order);
     if (!read_residual(br, order, block_size, res.data())) return false;
+    // Wrapping (unsigned) arithmetic: valid streams stay far inside
+    // int64, but crafted residuals can blow up the higher-order
+    // recurrences (order 4 grows ~n^3) — wraparound keeps that defined.
     for (uint32_t i = order; i < block_size; ++i) {
-      int64_t r = res[i - order];
+      uint64_t r = (uint64_t)(int64_t)res[i - order];
+      uint64_t a = i >= 1 ? (uint64_t)out[i - 1] : 0;
+      uint64_t b = i >= 2 ? (uint64_t)out[i - 2] : 0;
+      uint64_t c = i >= 3 ? (uint64_t)out[i - 3] : 0;
+      uint64_t d = i >= 4 ? (uint64_t)out[i - 4] : 0;
+      uint64_t p;
       switch (order) {
-        case 0: out[i] = r; break;
-        case 1: out[i] = r + out[i - 1]; break;
-        case 2: out[i] = r + 2 * out[i - 1] - out[i - 2]; break;
-        case 3: out[i] = r + 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3];
-                break;
-        default: out[i] = r + 4 * out[i - 1] - 6 * out[i - 2]
-                          + 4 * out[i - 3] - out[i - 4];
+        case 0: p = 0; break;
+        case 1: p = a; break;
+        case 2: p = 2 * a - b; break;
+        case 3: p = 3 * a - 3 * b + c; break;
+        default: p = 4 * a - 6 * b + 4 * c - d;
       }
+      out[i] = (int64_t)(r + p);
     }
   } else if (type & 0x20) {  // LPC, order 1..32
     int order = (int)(type & 0x1F) + 1;
@@ -178,16 +186,25 @@ bool read_subframe(BitReader& br, uint32_t block_size, int bps,
     res.resize(block_size - order);
     if (!read_residual(br, order, block_size, res.data())) return false;
     for (uint32_t i = order; i < block_size; ++i) {
-      int64_t acc = 0;
-      for (int k = 0; k < order; ++k) acc += coef[k] * out[i - 1 - k];
-      out[i] = (int64_t)res[i - order] + (acc >> shift);
+      // Wrapping (unsigned) accumulate: spec-valid streams never
+      // overflow int64 here, but crafted coefficient/sample garbage
+      // can — wraparound keeps that defined (garbage in, garbage out;
+      // UBSan-clean under the mutation fuzzer).
+      uint64_t acc = 0;
+      for (int k = 0; k < order; ++k) {
+        acc += (uint64_t)coef[k] * (uint64_t)out[i - 1 - k];
+      }
+      out[i] = (int64_t)((uint64_t)res[i - order] +
+                         (uint64_t)((int64_t)acc >> shift));
     }
   } else {
     return false;  // reserved type
   }
   if (br.overrun) return false;
   if (wasted) {
-    for (uint32_t i = 0; i < block_size; ++i) out[i] <<= wasted;
+    for (uint32_t i = 0; i < block_size; ++i) {
+      out[i] = (int64_t)((uint64_t)out[i] << wasted);
+    }
   }
   return true;
 }
@@ -209,7 +226,8 @@ void mwx_free(void* p);  // defined in mwx_audio.cpp (same .so)
 // Decode a FLAC stream to mono float32.
 // Returns 0 on success; *out is malloc'd (caller frees with mwx_free).
 // Error codes: -1 bad magic / no STREAMINFO, -2 malformed frame,
-// -3 unsupported layout, -4 alloc failure.
+// -3 unsupported layout, -4 alloc failure, -5 stream too large
+// (output cap, anti-DoS).
 int mwx_decode_flac(const uint8_t* data, uint64_t len, float** out,
                     int64_t* out_len, int32_t* sample_rate) {
   if (!data || len < 8 || std::memcmp(data, "fLaC", 4) != 0) return -1;
@@ -249,8 +267,17 @@ int mwx_decode_flac(const uint8_t* data, uint64_t len, float** out,
     return -1;
   }
 
+  // Output cap: FLAC constant-blocks expand almost without bound (a
+  // ~15-byte silent block decodes to 65535 samples), and STREAMINFO's
+  // 36-bit total is attacker-controlled — a crafted header must not
+  // drive a huge allocation (found by the ASan mutation fuzzer).
+  // 500M mono samples ≈ 8.7 h @ 16 kHz ≈ 2 GB of output: far above any
+  // legitimate meeting recording, far below address-space games.
+  const uint64_t kMaxTotalSamples = 500ull * 1000 * 1000;
+  if (si_total > kMaxTotalSamples) return -5;
+
   std::vector<float> mono;
-  if (si_total) mono.reserve((size_t)si_total);
+  if (si_total) mono.reserve((size_t)std::min<uint64_t>(si_total, 1u << 24));
   std::vector<std::vector<int64_t>> ch(si_channels);
 
   // Frame loop.
@@ -321,6 +348,8 @@ int mwx_decode_flac(const uint8_t* data, uint64_t len, float** out,
     br.bits(16);  // frame CRC-16 (not verified)
     if (br.overrun) return -2;
 
+    if (mono.size() + block_size > kMaxTotalSamples) return -5;
+
     // Undo stereo decorrelation, then mix to mono in float.
     double scale = 1.0 / (double)(1ull << (bps - 1));
     for (uint32_t i = 0; i < block_size; ++i) {
@@ -328,19 +357,22 @@ int mwx_decode_flac(const uint8_t* data, uint64_t len, float** out,
       double v;
       switch (decorrelate) {
         case 1:  // left/side: right = left - side
-          l = ch[0][i]; r = l - ch[1][i];
-          v = 0.5 * (double)(l + r);
+          l = ch[0][i];
+          r = (int64_t)((uint64_t)l - (uint64_t)ch[1][i]);
+          v = 0.5 * ((double)l + (double)r);
           break;
         case 2:  // right/side: left = right + side
-          r = ch[1][i]; l = r + ch[0][i];
-          v = 0.5 * (double)(l + r);
+          r = ch[1][i];
+          l = (int64_t)((uint64_t)r + (uint64_t)ch[0][i]);
+          v = 0.5 * ((double)l + (double)r);
           break;
         case 3: {  // mid/side
           int64_t mid = ch[0][i], side = ch[1][i];
-          l = ((mid << 1) | (side & 1)) + side;
+          l = (int64_t)((((uint64_t)mid << 1) | ((uint64_t)side & 1)) +
+                        (uint64_t)side);
           l >>= 1;
-          r = l - side;
-          v = 0.5 * (double)(l + r);
+          r = (int64_t)((uint64_t)l - (uint64_t)side);
+          v = 0.5 * ((double)l + (double)r);
           break;
         }
         default: {

@@ -111,3 +111,22 @@ def test_decodable_suffixes_advertises_flac(monkeypatch):
     from manual_whisper_tpu.audio import io as audio_io
     monkeypatch.setattr(shutil, "which", lambda _: None)
     assert ".flac" in audio_io.decodable_suffixes()
+
+
+def test_huge_streaminfo_total_rejected_fast():
+    """A crafted 36-bit STREAMINFO total must be rejected (rc -5), not
+    drive a multi-GB allocation (anti-DoS; found by the ASan fuzzer)."""
+    from manual_whisper_tpu.audio.flacenc import _BitWriter
+    si = _BitWriter()
+    si.bits(4096, 16); si.bits(4096, 16)
+    si.bits(0, 24); si.bits(0, 24)
+    si.bits(16000, 20); si.bits(0, 3); si.bits(15, 5)
+    si.bits((1 << 36) - 1, 36)          # absurd total_samples
+    si.bits(0, 64); si.bits(0, 64)
+    body = si.getvalue()
+    stream = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    import time
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        native_decode_flac(stream)
+    assert time.time() - t0 < 1.0

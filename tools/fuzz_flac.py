@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Mutation fuzzer for the native FLAC decoder under ASan/UBSan.
+
+Builds a sanitizer .so from native/mwx_{audio,flac}.cpp, then hammers
+mwx_decode_flac with mutated valid streams (bit flips, truncations,
+garbage-after-magic, splices).  The decoder parses untrusted upload
+bytes in the job server, so every input must return an error code or
+valid output — never crash, hang, or allocate unboundedly.  Run with
+the sanitizer runtimes preloaded:
+
+  ASAN=$(gcc -print-file-name=libasan.so)
+  UBSAN=$(gcc -print-file-name=libubsan.so)
+  LD_PRELOAD="$ASAN $UBSAN" ASAN_OPTIONS=detect_leaks=0:abort_on_error=1 \
+      python tools/fuzz_flac.py 20000
+
+Findings already fixed (see mwx_flac.cpp): attacker-controlled
+STREAMINFO total driving a 128 GB reserve (now rc -5 + output cap) and
+four signed-overflow/shift UBs on garbage streams (now wrapping).
+"""
+import ctypes
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def build_asan_lib() -> Path:
+    out = Path(tempfile.gettempdir()) / "libmwx_asan.so"
+    src = REPO / "manual_whisper_tpu" / "native"
+    subprocess.run(
+        ["g++", "-O1", "-g", "-fsanitize=address,undefined", "-fPIC",
+         "-std=c++17", "-shared", "-o", str(out),
+         str(src / "mwx_audio.cpp"), str(src / "mwx_flac.cpp")],
+        check=True)
+    return out
+
+
+def main() -> int:
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    lib = ctypes.CDLL(str(build_asan_lib()))
+    lib.mwx_decode_flac.restype = ctypes.c_int
+    lib.mwx_decode_flac.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+    lib.mwx_free.restype = None
+    lib.mwx_free.argtypes = [ctypes.c_void_p]
+
+    def call(data: bytes) -> int:
+        out = ctypes.POINTER(ctypes.c_float)()
+        n = ctypes.c_int64()
+        sr = ctypes.c_int32()
+        rc = lib.mwx_decode_flac(data, len(data), ctypes.byref(out),
+                                 ctypes.byref(n), ctypes.byref(sr))
+        if rc == 0:
+            assert 0 <= n.value <= 500_000_000
+            if n.value:
+                np.ctypeslib.as_array(out, shape=(min(n.value, 4),)).copy()
+            lib.mwx_free(out)
+        return rc
+
+    from manual_whisper_tpu.audio.flacenc import encode_flac
+
+    rng = np.random.default_rng(0)
+    x = (0.3 * rng.standard_normal(20000)).clip(-1, 1).astype(np.float32)
+    st = np.stack([x, np.roll(x, 7)], 1)
+    seeds = [encode_flac(x, 16000, predictor=p, block_size=1024)
+             for p in ("fixed0", "fixed2", "lpc", "verbatim")]
+    seeds += [encode_flac(st, 16000, stereo_mode=m, block_size=1024)
+              for m in ("independent", "left_side", "right_side",
+                        "mid_side")]
+
+    ok = err = 0
+    for i in range(n_cases):
+        s = bytearray(seeds[i % len(seeds)])
+        kind = i % 4
+        if kind == 0:      # bit flips
+            for _ in range(int(rng.integers(1, 30))):
+                p = int(rng.integers(0, len(s)))
+                s[p] ^= 1 << int(rng.integers(0, 8))
+        elif kind == 1:    # truncate
+            s = s[: int(rng.integers(0, len(s)))]
+        elif kind == 2:    # garbage with a fLaC magic
+            s = bytearray(b"fLaC") + bytes(
+                rng.integers(0, 256, int(rng.integers(0, 4096)),
+                             dtype=np.uint8))
+        else:              # byte splice / duplication
+            a = int(rng.integers(0, len(s)))
+            b = int(rng.integers(a, len(s)))
+            s = s[:a] + s[a:b] * 2 + s[b:]
+        rc = call(bytes(s))
+        ok += rc == 0
+        err += rc != 0
+        if i % 1000 == 0:
+            print(f"{i}: ok={ok} err={err}", flush=True)
+    print(f"DONE {n_cases} cases: decoded={ok} rejected={err}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
