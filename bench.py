@@ -57,7 +57,21 @@ logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
 import numpy as np
 
 _STATE = {"headline": None, "stage": "import", "done": False}
+# exactly-once guard for the final JSON line: main and the watchdog
+# race near the deadline, and os._exit mid-print would truncate output
+_PRINT_LOCK = threading.Lock()
 _T_START = time.time()
+
+
+def _emit_final(payload: dict) -> bool:
+    """Print the one-and-only headline JSON line.  Returns False if the
+    other thread already printed it."""
+    with _PRINT_LOCK:
+        if _STATE["done"]:
+            return False
+        _STATE["done"] = True
+        print(json.dumps(payload), flush=True)
+        return True
 
 
 def _log(msg: str) -> None:
@@ -91,7 +105,7 @@ def _watchdog(deadline: float) -> None:
     head["watchdog"] = f"budget exhausted during stage: {_STATE['stage']}"
     if _STATE.get("canary") is not None:
         head.setdefault("canary_s", _STATE["canary"])
-    print(json.dumps(head), flush=True)
+    _emit_final(head)   # no-op if main printed first
     os._exit(0)
 
 
@@ -242,8 +256,7 @@ def main() -> int:
             [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=probe_cap, capture_output=True)
     except subprocess.TimeoutExpired:
-        _STATE["done"] = True
-        print(json.dumps({
+        _emit_final({
             "metric": "rtf_bench_incomplete",
             "value": 0.0,
             "unit": "x_realtime_per_chip",
@@ -252,7 +265,7 @@ def main() -> int:
                       f"blocked >{probe_cap:.0f}s in a fresh process "
                       "(axon tunnel relay down?) — not a pipeline "
                       "regression; rerun once the tunnel is restored"),
-        }), flush=True)
+        })
         return 0
 
     # canary: one tiny matmul compile+run.  Healthy tunnel ~2 s; a
@@ -376,8 +389,7 @@ def main() -> int:
     else:
         out["phase_split_skipped"] = "insufficient budget"
 
-    _STATE["done"] = True
-    print(json.dumps(out), flush=True)
+    _emit_final(out)
     return 0
 
 

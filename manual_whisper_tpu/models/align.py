@@ -25,6 +25,7 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import config
@@ -54,6 +55,12 @@ class AlignModel:
     vocab: Dict[str, int]        # char -> CTC label id
     blank_id: int
     language: str
+
+    def __post_init__(self):
+        # commit host (numpy) trees to the device once: orbax restores
+        # numpy, and jit does not cache numpy-arg conversions — left on
+        # the host, the wav2vec2 weights would re-ship every dispatch
+        self.params = jax.tree.map(jnp.asarray, self.params)
 
     @property
     def frame_duration(self) -> float:
@@ -208,15 +215,28 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
         e_idx = min(int(s_end * SAMPLE_RATE), len(audio))
         n_pieces = max(1, -(-(e_idx - s_idx) // cap_samples))
         chars_per = len(text) / n_pieces
+        # proportional text split points, snapped to the nearest word
+        # boundary for space-delimited scripts so no word is cut in half
+        # across audio pieces (char-aligned scripts split per character
+        # by construction — CHAR_ALIGNED_LANGUAGES align per char anyway)
+        cuts = [0]
+        for k in range(1, n_pieces):
+            c = int(k * chars_per)
+            if model.language not in CHAR_ALIGNED_LANGUAGES and text:
+                left = text.rfind(" ", 0, c)
+                right = text.find(" ", c)
+                cands = [p for p in (left, right) if p != -1]
+                if cands:
+                    c = min(cands, key=lambda p: abs(p - c))
+            cuts.append(max(c, cuts[-1]))
+        cuts.append(len(text))
         my_prep: List[int] = []
         for k in range(n_pieces):
-            # equal-duration pieces (each <= cap by construction) with a
-            # proportional character split
+            # equal-duration pieces (each <= cap by construction)
             p_lo = s_idx + (e_idx - s_idx) * k // n_pieces
             p_hi = s_idx + (e_idx - s_idx) * (k + 1) // n_pieces
             p_start = p_lo / SAMPLE_RATE
-            p_text = text[int(k * chars_per): int((k + 1) * chars_per)] \
-                .strip()
+            p_text = text[cuts[k]: cuts[k + 1]].strip()
             clip = np.asarray(audio[p_lo:p_hi], np.float32)[:cap_samples]
             n_frames = frames_for_samples(len(clip))
             labels: List[int] = []

@@ -420,9 +420,16 @@ class DiarizationPipeline:
                 embedding_params = None
         from .vad import embed_compute_device
         self._embed_device = embed_compute_device()
-        if embedding_params is not None and self._embed_device is not None:
-            embedding_params = jax.device_put(embedding_params,
-                                              self._embed_device)
+        if embedding_params is not None:
+            if self._embed_device is not None:
+                embedding_params = jax.device_put(embedding_params,
+                                                  self._embed_device)
+            else:
+                # orbax restores numpy; commit once or every embed
+                # dispatch re-ships the ResNet34 weights (jit does not
+                # cache numpy-arg conversions)
+                embedding_params = jax.tree.map(jnp.asarray,
+                                                embedding_params)
         self.embedding_params = embedding_params
         self.embedding_cfg = embedding_cfg or EmbeddingConfig()
         self.window_sec = window_sec

@@ -492,10 +492,15 @@ class VoiceActivityDetector:
                  cfg: PyanNetConfig = PyanNetConfig()):
         if params is not None:
             device = vad_compute_device()
+            # committed placement decides where every PyanNet forward
+            # runs (CPU default — see vad_compute_device).  Placement
+            # must happen HERE either way: orbax restores numpy trees,
+            # and jit does not cache numpy-arg conversions, so host
+            # params would re-ship to the device on every dispatch.
             if device is not None:
-                # committed placement decides where every PyanNet
-                # forward runs (CPU default — see vad_compute_device)
                 params = jax.device_put(params, device)
+            else:
+                params = jax.tree.map(jnp.asarray, params)
         self.params = params
         self.cfg = cfg
 

@@ -285,7 +285,15 @@ int mwx_decode_flac(const uint8_t* data, uint64_t len, float** out,
     // Tolerate trailing byte-aligned padding/garbage shorter than a header.
     if ((len * 8 - br.bitpos) < 32) break;
     uint32_t sync = br.bits(14);
-    if (sync != 0x3FFE) return -2;
+    if (sync != 0x3FFE) {
+      // Streaming encoders write total_samples=0; without it there is
+      // no early break above, so trailing tag/padding bytes after the
+      // last frame land here.  Keep what decoded (like ffmpeg) rather
+      // than failing a fully-decoded stream; an unsynced FIRST frame is
+      // still a hard error.
+      if (!mono.empty()) break;
+      return -2;
+    }
     if (br.bits(1) != 0) return -2;   // reserved
     br.bits(1);                       // blocking strategy
     uint32_t bs_code = br.bits(4);

@@ -89,6 +89,14 @@ class TranscribePipeline:
             from ..parallel.mesh import DATA_AXIS
             params = shard_params(params, mesh)
             self.data_parallel = mesh.shape[DATA_AXIS]
+        else:
+            # Commit host (numpy) trees to the device ONCE: jax.jit does
+            # not cache numpy-argument conversions, so leaving them on
+            # the host re-ships the full weight tree on EVERY dispatch
+            # (measured: ~60 ms per 64 MB per call — gigabytes per batch
+            # at large-v3 over a remote-tunnel backend).
+            import jax
+            params = jax.tree.map(jnp.asarray, params)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -284,14 +292,25 @@ class TranscribePipeline:
         chunk_size = min(chunk_size or self.window_sec, self.window_sec)
 
         lang = language or self.language
-        if not lang:
-            lang = self.detect_language(audio)
-            report(2.0, f"detected language: {lang}")
-
-        decoder = self._decoder(lang, temperature, initial_prompt)
+        decoder = None
         use_ts = not self.asr_options.get("without_timestamps", True)
-        first_temp = decoder.opts.temperatures[0] \
-            if decoder.opts.temperatures else 0.0
+        first_temp = 0.0
+
+        def ensure_decoder():
+            # language detection + decoder construction deferred to the
+            # first real batch: silent/no-speech audio then never pays a
+            # device dispatch, and its result keeps the stable
+            # {"segments": [], "language": <default>} shape instead of
+            # an argmax over noise logits
+            nonlocal lang, decoder, first_temp
+            if decoder is not None:
+                return
+            if not lang:
+                lang = self.detect_language(audio)
+                report(2.0, f"detected language: {lang}")
+            decoder = self._decoder(lang, temperature, initial_prompt)
+            first_temp = decoder.opts.temperatures[0] \
+                if decoder.opts.temperatures else 0.0
 
         report(0.0, "voice activity detection")
         # VAD/encode overlap: chunks finalize incrementally per VAD block
@@ -307,6 +326,7 @@ class TranscribePipeline:
         submitted: List = []
 
         def dispatch(group: List[SpeechChunk]) -> None:
+            ensure_decoder()
             for windows, grp in batch_chunks(
                     audio, group, batch_size,
                     window_samples=self.window_samples,
@@ -343,7 +363,7 @@ class TranscribePipeline:
 
         if not batches:
             report(100.0, "no speech detected")
-            return {"segments": [], "language": lang}
+            return {"segments": [], "language": lang or "zh"}
 
         segments: List[dict] = []
         t0 = time.time()

@@ -227,15 +227,20 @@ class Handler(BaseHTTPRequestHandler):
             return self._json(400, {"error": "Empty upload body"})
 
         filename = self.headers.get("x-file-name") or "audio_upload"
-        # reject undecodable containers at upload time with an actionable
-        # zh-CN message instead of failing the job later with a stack
-        # (an ffmpeg-less host decodes WAV only; the reference's default
-        # input is .m4a — VERDICT.md r2 #8)
-        from ..audio.io import UnsupportedFormatError, decodable_suffixes
-        up_suffix = Path(filename).suffix.lower()
-        if up_suffix and up_suffix not in decodable_suffixes():
-            return self._json(
-                415, {"error": UnsupportedFormatError(up_suffix).zh})
+        # On an ffmpeg-less host, reject undecodable containers at upload
+        # time with an actionable zh-CN message instead of failing the job
+        # later with a stack (native decoders cover WAV+FLAC only; the
+        # reference's default input is .m4a — VERDICT.md r2 #8).  WITH
+        # ffmpeg present, accept any suffix — ffmpeg decodes a superset
+        # of any fixed list, exactly like the reference's pipeline.
+        import shutil as _shutil
+        if not _shutil.which("ffmpeg"):
+            from ..audio.io import (UnsupportedFormatError,
+                                    decodable_suffixes)
+            up_suffix = Path(filename).suffix.lower()
+            if up_suffix and up_suffix not in decodable_suffixes():
+                return self._json(
+                    415, {"error": UnsupportedFormatError(up_suffix).zh})
         file_id = uuid.uuid4().hex
         suffix = Path(filename).suffix or ".bin"
         dest = self.state.upload_dir / f"{file_id}{suffix}"
@@ -493,6 +498,15 @@ def serve(model_name: Optional[str] = None, host: str = "0.0.0.0",
         backend, host=host, port=port,
         web_dir=web_dir or (str(default_web) if default_web.exists()
                             else None))
+    # probe/build the native audio library NOW: on an ffmpeg-less host
+    # the upload handler consults decodable_suffixes(), whose first call
+    # may `make` the C++ decoders (up to ~2 min on a 1-core host) — that
+    # belongs at startup, not inside a client's upload request
+    try:
+        from ..audio.io import decodable_suffixes
+        print(f"decodable without ffmpeg: {decodable_suffixes()}")
+    except Exception as exc:
+        print(f"native audio probe failed (serving continues): {exc}")
     if config.get_bool("MWX_WARMUP", True):
         def _warm():
             t0 = time.time()

@@ -130,3 +130,19 @@ def test_huge_streaminfo_total_rejected_fast():
     with pytest.raises(ValueError):
         native_decode_flac(stream)
     assert time.time() - t0 < 1.0
+
+
+def test_streaming_stream_with_trailing_junk():
+    """total_samples=0 (streaming encoder) + trailing tag bytes after the
+    last frame: decoded audio must be kept, not discarded (ffmpeg-like
+    tolerance; a bad FIRST frame is still an error)."""
+    x = noise(6000, seed=7)
+    s = bytearray(encode_flac(x, 16000))
+    # STREAMINFO: bytes 18..25 hold sr(20)|ch(3)|bps(5)|total(36);
+    # zero the 36-bit total (low nibble of byte 21 + bytes 22-25)
+    s[21] &= 0xF0
+    s[22:26] = b"\x00\x00\x00\x00"
+    s += b"APETAGEX" * 4   # byte-aligned trailing junk
+    dec, sr = native_decode_flac(bytes(s))
+    assert sr == 16000 and len(dec) == 6000
+    np.testing.assert_allclose(dec, quantized(x), atol=1e-7)

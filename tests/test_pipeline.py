@@ -130,6 +130,19 @@ def test_transcribe_silence_returns_empty(tiny_pipeline):
     assert result["segments"] == []
 
 
+def test_transcribe_silence_skips_language_detection(monkeypatch):
+    """No-speech audio with no language pinned must not dispatch a
+    detection forward (argmax over noise logits) and must keep the
+    stable 'zh' default in the response."""
+    model = load_model("test")          # no language
+    model.language = None
+    def boom(_audio):
+        raise AssertionError("detect_language dispatched on silence")
+    monkeypatch.setattr(model, "detect_language", boom)
+    result = model.transcribe(np.zeros(SR * 2, np.float32), batch_size=2)
+    assert result == {"segments": [], "language": "zh"}
+
+
 def test_detect_language_runs(tiny_pipeline):
     lang = tiny_pipeline.detect_language(_speech_audio(2.0))
     assert isinstance(lang, str) and len(lang) >= 2

@@ -111,6 +111,11 @@ export function attachPlayer(ids) {
 
     return {
         setSource(url, name) {
+            // revoke the previous blob URL so repeated tasks don't pin
+            // every selected/recorded audio buffer until the tab closes
+            if (el.audio.src && el.audio.src.startsWith("blob:")) {
+                URL.revokeObjectURL(el.audio.src);
+            }
             el.audio.src = url;
             downloadName = name || "audio";
             reset();
