@@ -251,20 +251,27 @@ def main() -> int:
     _stage("backend probe")
     probe_cap = float(os.environ.get("BENCH_PROBE_CAP_S", "120"))
     import subprocess
+    probe_err = None
     try:
-        subprocess.run(
+        res = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=probe_cap, capture_output=True)
+            timeout=probe_cap, capture_output=True, text=True)
+        if res.returncode != 0:
+            tail = (res.stderr or "").strip().splitlines()[-1:]
+            probe_err = (f"backend init failed fast in a fresh process "
+                         f"(rc {res.returncode}): {' '.join(tail)}")
     except subprocess.TimeoutExpired:
+        probe_err = (f"jax.devices() blocked >{probe_cap:.0f}s in a "
+                     "fresh process (axon tunnel relay down?)")
+    if probe_err:
         _emit_final({
             "metric": "rtf_bench_incomplete",
             "value": 0.0,
             "unit": "x_realtime_per_chip",
             "vs_baseline": 0.0,
-            "error": (f"accelerator backend unreachable: jax.devices() "
-                      f"blocked >{probe_cap:.0f}s in a fresh process "
-                      "(axon tunnel relay down?) — not a pipeline "
-                      "regression; rerun once the tunnel is restored"),
+            "error": ("accelerator backend unreachable: " + probe_err
+                      + " — not a pipeline regression; rerun once the "
+                        "tunnel is restored"),
         })
         return 0
 
