@@ -34,9 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.quant import mm
-from .whisper import (Params, WhisperConfig, _layer_norm, _merge_heads,
-                      _mlp, _split_heads, decoder_forward, init_kv_cache,
-                      precompute_cross_kv)
+from .whisper import (Params, WhisperConfig, _layer_norm, _mlp,
+                      decoder_forward, init_kv_cache, precompute_cross_kv)
 
 NEG_INF = -1e30
 
@@ -168,14 +167,32 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
     anc0 = jnp.broadcast_to(
         jnp.arange(k, dtype=jnp.int32)[None, :, None],
         (b, k, p + max_new))
+
+    # Completed-hypothesis set-aside (CT2/OpenAI semantics): a finished
+    # hypothesis frozen inside the beam can still be EVICTED by a later
+    # top-k while degenerate continuations briefly outscore it raw; the
+    # per-row best completed hypothesis (by length-normalised score) is
+    # therefore recorded OUTSIDE the beam every step and competes in the
+    # final selection.  The empty hypothesis (EOT as the first token) is
+    # scored here at init.
+    def norm_score(cum, length):
+        return cum / jnp.maximum(length.astype(jnp.float32),
+                                 1.0) ** length_penalty
+    fin_score0 = jnp.where(first[:, eot] > NEG_INF / 2,
+                           norm_score(first[:, eot], jnp.ones((b,))),
+                           NEG_INF)
+    fin0 = (fin_score0,
+            jnp.full((b, max_new), eot_i32, jnp.int32),   # tokens
+            first[:, eot],                                 # cum logprob
+            jnp.ones((b,), jnp.int32))                     # length
     state = (tokens0, top_tok, jnp.int32(1), cache, finished0,
-             top_lp, jnp.ones((b, k), jnp.int32), anc0)
+             top_lp, jnp.ones((b, k), jnp.int32), anc0, fin0)
 
     def cond(state):
         return jnp.logical_and(state[2] < max_new, ~jnp.all(state[4]))
 
     def body(state):
-        tokens, last, i, cache, finished, cum_lp, lengths, anc = state
+        tokens, last, i, cache, finished, cum_lp, lengths, anc, fin = state
         # beam k writes this step's K/V into its own slot k
         pos = p + i - 1
         anc = jax.lax.dynamic_update_slice(
@@ -190,6 +207,29 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
         # finished beams: only EOT continuation at zero cost
         frozen = jnp.full((vocab,), NEG_INF).at[eot].set(0.0)
         logp = jnp.where(finished[:, :, None], frozen[None, None, :], logp)
+
+        # record every parent's EOT continuation (= a completed
+        # hypothesis; its token row is the parent's row, which is already
+        # EOT-filled past i-1) against the running best.  Frozen parents
+        # re-score identically to when they finished, so this is
+        # idempotent for them.
+        fin_score, fin_tokens, fin_lp, fin_len = fin
+        eot_cum = cum_lp + logp[:, :, eot]                  # [B, K]
+        eot_len = lengths + jnp.where(finished, 0, 1).astype(jnp.int32)
+        eot_score = norm_score(eot_cum, eot_len)            # [B, K]
+        k_best = jnp.argmax(eot_score, axis=1)              # [B]
+        row_score = jnp.max(eot_score, axis=1)
+        improve = row_score > fin_score
+        parent_tokens = jnp.take_along_axis(
+            tokens, k_best[:, None, None], axis=1)[:, 0]    # [B, max_new]
+        fin = (jnp.where(improve, row_score, fin_score),
+               jnp.where(improve[:, None], parent_tokens, fin_tokens),
+               jnp.where(improve,
+                         jnp.take_along_axis(eot_cum, k_best[:, None],
+                                             axis=1)[:, 0], fin_lp),
+               jnp.where(improve,
+                         jnp.take_along_axis(eot_len, k_best[:, None],
+                                             axis=1)[:, 0], fin_len))
 
         cand = cum_lp[:, :, None] + logp                    # [B, K, V]
         flat = cand.reshape(b, k * vocab)
@@ -207,19 +247,28 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
 
         lengths = lengths + jnp.where(finished, 0, 1).astype(jnp.int32)
         finished = jnp.logical_or(finished, tok == eot_i32)
-        return (tokens, tok, i + 1, cache, finished, new_cum, lengths, anc)
+        return (tokens, tok, i + 1, cache, finished, new_cum, lengths,
+                anc, fin)
 
-    tokens, _, _, _, finished, cum_lp, lengths, _ = jax.lax.while_loop(
+    tokens, _, _, _, finished, cum_lp, lengths, _, fin = jax.lax.while_loop(
         cond, body, state)
+    fin_score, fin_tokens, fin_lp, fin_len = fin
 
-    # length-normalised selection among beams
-    norm = jnp.maximum(lengths.astype(jnp.float32), 1.0) ** length_penalty
-    score = cum_lp / norm
+    # length-normalised selection among the live beams (covers rows that
+    # truncated at max_new without finishing) ...
+    score = norm_score(cum_lp, lengths)
     best = jnp.argmax(score, axis=1)                        # [B]
     best_tokens = jnp.take_along_axis(
         tokens, best[:, None, None], axis=1)[:, 0]
     best_lp = jnp.take_along_axis(cum_lp, best[:, None], axis=1)[:, 0]
     best_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    # ... then the recorded best COMPLETED hypothesis competes, so a
+    # finished winner evicted from the beam mid-search still surfaces
+    best_score = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
+    fin_wins = fin_score > best_score
+    best_tokens = jnp.where(fin_wins[:, None], fin_tokens, best_tokens)
+    best_lp = jnp.where(fin_wins, fin_lp, best_lp)
+    best_len = jnp.where(fin_wins, fin_len, best_len)
     no_speech = jax.nn.softmax(
         prefill_logits[:, sot_index, :], axis=-1)[:, no_speech_token]
     return best_tokens, best_lp, best_len, no_speech

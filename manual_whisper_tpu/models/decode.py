@@ -148,7 +148,7 @@ def greedy_decode_jit(params: Params, xa: jnp.ndarray,
     tokens0 = tokens0.at[:, 0].set(tok0)
     finished0 = tok0 == eot_i32
     state = (tokens0, tok0, jnp.int32(1), cache, finished0,
-             lp0, jnp.where(finished0, 1, 1).astype(jnp.int32), loop_key)
+             lp0, jnp.ones((b,), jnp.int32), loop_key)
 
     def cond(state):
         _, _, i, _, finished, _, _, _ = state
@@ -221,6 +221,13 @@ class BatchDecoder:
             jnp.asarray(build_blank_mask(tokenizer, cfg))
             if opts.suppress_blank
             else jnp.zeros(cfg.n_vocab, jnp.float32))
+        # timestamp-mode suppress mask + prefix, built once on first use:
+        # they depend only on opts, and rebuilding the O(n_vocab) mask per
+        # dispatch would sit on the latency-critical submit path
+        self._ts_cache: Optional[tuple] = None
+        # distinct sampling keys per dispatch (a repeated ladder
+        # temperature must resample, not replay the same tokens)
+        self._rng_calls = 0
         if opts.beam_size > 1 and (opts.int8_cross_kv
                                    or opts.fused_attention):
             # the beam kernel runs plain bf16 einsum attention; silently
@@ -280,11 +287,13 @@ class BatchDecoder:
                 sot_index=sot_index,
                 no_speech_token=tk.special.no_speech)
         else:
+            self._rng_calls += 1
             out = greedy_decode_jit(
                 self.params, xa, self._replicate(jnp.asarray(prefix)),
                 self._suppress,
                 self._blank, self._replicate(jnp.float32(temperature)),
-                self._replicate(jax.random.PRNGKey(self.opts.seed)),
+                self._replicate(jax.random.PRNGKey(
+                    self.opts.seed + 1000003 * self._rng_calls)),
                 tk.special.eot, self.cfg, max_new,
                 sot_index=sot_index,
                 no_speech_token=tk.special.no_speech,
@@ -303,9 +312,13 @@ class BatchDecoder:
         for i in range(b):
             toks = [int(t) for t in tokens[i] if t != tk.special.eot]
             text = tk.decode(toks).strip()
-            # lengths already counts the EOT-emitting step, so it equals
-            # OpenAI's len(tokens) + 1 denominator as-is
-            avg_lp = float(sum_lp[i] / max(int(lengths[i]), 1))
+            # lengths counts the EOT-emitting step, so it equals OpenAI's
+            # len(tokens) + 1 denominator — except when the row truncated
+            # at max_new without ever emitting EOT, where the +1 must be
+            # added explicitly to match faster-whisper's gating scale
+            denom = int(lengths[i]) + (1 if len(toks) == tokens.shape[1]
+                                       else 0)
+            avg_lp = float(sum_lp[i] / max(denom, 1))
             results.append(SegmentResult(
                 tokens=toks, text=text, avg_logprob=avg_lp,
                 no_speech_prob=float(no_speech[i]),
@@ -327,16 +340,21 @@ class BatchDecoder:
         decode_submit for why)."""
         from .timestamps import greedy_timestamps_jit
         tk = self.tokenizer
-        ts_opts = dataclasses.replace(self.opts, without_timestamps=False)
-        suppress = jnp.asarray(build_suppress_mask(tk, self.cfg, ts_opts))
-        prefix = np.asarray(
-            tk.sot_sequence(self.opts.language, self.opts.task,
-                            without_timestamps=False), np.int32)
+        if self._ts_cache is None:
+            ts_opts = dataclasses.replace(self.opts,
+                                          without_timestamps=False)
+            suppress = self._replicate(jnp.asarray(
+                build_suppress_mask(tk, self.cfg, ts_opts)))
+            prefix = np.asarray(
+                tk.sot_sequence(self.opts.language, self.opts.task,
+                                without_timestamps=False), np.int32)
+            self._ts_cache = (suppress, self._replicate(
+                jnp.asarray(prefix)), len(prefix))
+        suppress, prefix_dev, prefix_len = self._ts_cache
         max_new = min(self.opts.max_new_tokens,
-                      self.cfg.n_text_ctx - len(prefix) - 1)
+                      self.cfg.n_text_ctx - prefix_len - 1)
         return greedy_timestamps_jit(
-            self.params, xa, self._replicate(jnp.asarray(prefix)),
-            self._replicate(suppress),
+            self.params, xa, prefix_dev, suppress,
             tk.special.eot, tk.special.timestamp_begin, self.cfg, max_new,
             fused_attention=self.opts.fused_attention)
 
@@ -363,28 +381,38 @@ class BatchDecoder:
             return True
         return False
 
-    def decode_with_fallback(self, xa: jnp.ndarray,
-                             first=None) -> List[SegmentResult]:
+    def decode_with_fallback(self, xa: jnp.ndarray, first=None,
+                             n_valid: Optional[int] = None
+                             ) -> List[SegmentResult]:
         """faster-whisper style temperature ladder: retry failing segments
         at increasing temperature; keep the first passing result.
         ``first`` takes an already-dispatched decode_submit handle for the
-        first rung (cross-batch async overlap).
+        first rung (cross-batch async overlap).  ``n_valid`` limits the
+        quality gates to the real rows — the zero-audio rows batch_chunks
+        pads with always "fail" the gates and would otherwise drag every
+        rung of the ladder for output the caller discards.
 
         Retry sub-batches are padded up to the same power-of-two bucket
-        ladder the chunk batcher uses, so a retry of (say) 3 rows out of 16
-        reuses the compiled 4-row program instead of forcing a fresh XLA
-        compile mid-job (minutes on large checkpoints)."""
+        ladder the chunk batcher uses (including its data-parallel
+        divisor), so a retry of (say) 3 rows out of 16 reuses a
+        warmup-compiled mesh-divisible program instead of forcing a fresh
+        XLA compile mid-job (minutes on large checkpoints)."""
         from ..pipeline.chunking import _bucket_for
         temps = self.opts.temperatures or (0.0,)
         if first is None:
             first = self.decode_submit(xa, temps[0])
         results = self.decode_finalize(first, int(xa.shape[0]), temps[0])
-        pending = [i for i, r in enumerate(results)
+        n_valid = int(xa.shape[0]) if n_valid is None else n_valid
+        divisor = 1
+        if self.mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+            divisor = self.mesh.shape[DATA_AXIS]
+        pending = [i for i, r in enumerate(results[:n_valid])
                    if self._needs_fallback(r)]
         for temp in temps[1:]:
             if not pending:
                 break
-            rows = _bucket_for(len(pending), int(xa.shape[0]))
+            rows = _bucket_for(len(pending), int(xa.shape[0]), divisor)
             idx = pending + [pending[0]] * (rows - len(pending))
             sub = xa[np.asarray(idx)]
             retried = self.decode(sub, temperature=temp)[:len(pending)]

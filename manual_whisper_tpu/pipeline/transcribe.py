@@ -385,7 +385,8 @@ class TranscribePipeline:
                 report(pct, f"transcribed batch {bi + 1}/{len(batches)} "
                             f"({time.time() - t0:.1f}s)")
                 continue
-            results = decoder.decode_with_fallback(xa, first=submitted[bi])
+            results = decoder.decode_with_fallback(xa, first=submitted[bi],
+                                                   n_valid=len(group))
             for ch, res in zip(group, results):
                 if decoder.is_no_speech(res):
                     continue
