@@ -356,7 +356,8 @@ class BatchDecoder:
         return greedy_timestamps_jit(
             self.params, xa, prefix_dev, suppress,
             tk.special.eot, tk.special.timestamp_begin, self.cfg, max_new,
-            fused_attention=self.opts.fused_attention)
+            fused_attention=self.opts.fused_attention,
+            int8_cross_kv=self.opts.int8_cross_kv)
 
     def timestamps_finalize(self, out, chunk_starts: Sequence[float],
                             chunk_durations: Sequence[float]

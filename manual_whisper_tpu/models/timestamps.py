@@ -34,12 +34,14 @@ NEG = -1e30
 
 
 @partial(jax.jit, static_argnames=("eot", "ts_begin", "cfg", "max_new",
-                                   "max_initial_index", "fused_attention"))
+                                   "max_initial_index", "fused_attention",
+                                   "int8_cross_kv"))
 def greedy_timestamps_jit(params: Params, xa: jnp.ndarray,
                           prefix: jnp.ndarray, suppress_mask: jnp.ndarray,
                           eot: int, ts_begin: int, cfg: WhisperConfig,
                           max_new: int, max_initial_index: int = 50,
-                          fused_attention: bool = False):
+                          fused_attention: bool = False,
+                          int8_cross_kv: bool = False):
     """Greedy decode with timestamp rules.
 
     ``suppress_mask`` must NOT mask the timestamp region.  Returns
@@ -50,7 +52,7 @@ def greedy_timestamps_jit(params: Params, xa: jnp.ndarray,
     vocab = cfg.n_vocab
     eot_i32 = jnp.int32(eot)
 
-    cross_kv = precompute_cross_kv(params, xa, cfg)
+    cross_kv = precompute_cross_kv(params, xa, cfg, quantize=int8_cross_kv)
     cache_len = (p + max_new if not fused_attention
                  else -(-(p + max_new) // 128) * 128)
     cache = init_kv_cache(cfg, b, max_len=cache_len)
@@ -80,10 +82,18 @@ def greedy_timestamps_jit(params: Params, xa: jnp.ndarray,
         logits = jnp.where(need_ts[:, None], logits + text_mask, logits)
         logits = jnp.where(closed[:, None], logits + ts_mask, logits)
 
-        # monotonic timestamps
+        # monotonic timestamps, with OpenAI's nonzero-duration force:
+        # after a LONE timestamp following text the closing timestamp may
+        # equal the opener's successor region start (mask < last_ts);
+        # everywhere else — inside a segment (last is text) or right
+        # after a closed pair — the next timestamp must be STRICTLY
+        # greater (mask <= last_ts), else the model can loop on
+        # zero-duration segments at one timestamp forever
+        lone = jnp.logical_and(last_is_ts, ~prev_is_ts)
+        cutoff = jnp.where(lone, last_ts, last_ts + 1)
         mono = jnp.where(
             jnp.logical_and(is_ts[None, :],
-                            token_ids[None, :] < last_ts[:, None]),
+                            token_ids[None, :] < cutoff[:, None]),
             NEG, 0.0)
         logits = logits + mono
 

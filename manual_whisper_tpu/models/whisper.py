@@ -117,7 +117,7 @@ def _dense_init(key, d_in, d_out, dtype):
     return (jax.random.normal(key, (d_in, d_out)) * scale).astype(dtype)
 
 
-def _attn_init(key, d, dtype, prefix=""):
+def _attn_init(key, d, dtype):
     ks = jax.random.split(key, 4)
     return {
         "q_w": _dense_init(ks[0], d, d, dtype), "q_b": jnp.zeros(d, dtype),
@@ -411,20 +411,14 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
     """
     n_head = cfg.n_text_head
 
-    def q8(x):
-        x32 = x.astype(jnp.float32)
-        s = jnp.max(jnp.abs(x32), axis=-2, keepdims=True) / 127.0
-        s = jnp.maximum(s, 1e-8)
-        return (jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8), s)
-
     def layer_kv(_, blk):
         k = _split_heads(mm(xa, blk["xattn"]["k_w"]), n_head)
         v = _split_heads(mm(xa, blk["xattn"]["v_w"]) + blk["xattn"]["v_b"],
                          n_head)
         k, v = jnp.swapaxes(k, -1, -2), jnp.swapaxes(v, -1, -2)
         if quantize:
-            (k_q, k_s), (v_q, v_s) = q8(k), q8(v)
-            return None, (k_q, k_s, v_q, v_s)
+            # one quantization recipe for both entry points
+            return None, quantize_cross_kv((k, v))
         return None, (k, v)
 
     _, out = jax.lax.scan(layer_kv, None, params["decoder"]["blocks"])
@@ -573,6 +567,13 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
     dec = params["decoder"]
     n_head = cfg.n_text_head
     b, t = tokens.shape
+
+    if kv_cache is None and pos_offset:
+        # without a pre-sized cache the K/V write would clamp to slot 0
+        # while the causal mask still assumes absolute positions — queries
+        # would silently attend to their own future
+        raise ValueError("decoder_forward with pos_offset > 0 requires a "
+                         "kv_cache sized for pos_offset + T")
 
     pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, t, axis=0)
     x = (dec["tok_emb"][tokens] + pos).astype(cfg.dtype)

@@ -102,3 +102,56 @@ def test_split_segments_empty():
     tk = make_test_tokenizer()
     assert split_segments_by_timestamps(
         np.asarray([tk.special.eot]), tk, 0.0, 30.0) == []
+
+
+def test_closing_timestamp_strictly_increases(setup, monkeypatch):
+    """OpenAI's nonzero-duration force: inside a segment (or after a
+    closed pair) the next timestamp must be STRICTLY greater than the
+    last one — a model that favors one timestamp token must not loop on
+    zero-duration segments.  Scripted logits favor re-emitting the same
+    timestamp; only the rule forces each closing timestamp forward."""
+    import jax.numpy as jnp
+
+    from manual_whisper_tpu.models import timestamps as ts_mod
+
+    params, cfg, tk, xa = setup
+    sp = tk.special
+    V = cfg.n_vocab
+    TXT = 7   # an ordinary text token
+
+    row = np.full(V, -20.0, np.float32)
+    row[sp.timestamp_begin:] = 5.0 - 0.01 * np.arange(
+        V - sp.timestamp_begin)           # earlier timestamps score best
+    row[TXT] = 4.0                        # best text option
+    row[sp.eot] = -30.0                   # never stop early
+    row_j = jnp.asarray(row)
+
+    def fake_decoder_forward(params_, tokens, xa_, cfg_, pos_offset=0,
+                             kv_cache=None, cross_kv=None):
+        logits = jnp.broadcast_to(
+            row_j, (tokens.shape[0], tokens.shape[1], V))
+        return logits, kv_cache
+
+    def fake_decode_step(params_, last, pos, cache, cross_kv, cfg_,
+                         use_fused=False, cross_len=None):
+        return jnp.broadcast_to(row_j, (last.shape[0], V)), cache
+
+    monkeypatch.setattr(ts_mod, "decoder_forward", fake_decoder_forward)
+    monkeypatch.setattr(ts_mod, "decode_step", fake_decode_step)
+
+    prefix = np.asarray(tk.sot_sequence("zh", "transcribe", False),
+                        np.int32)
+    max_new = 9   # unique static key -> fresh trace of the stubs
+    tokens, _, _ = jax.device_get(ts_mod.greedy_timestamps_jit(
+        params, xa, jnp.asarray(prefix), jnp.zeros(V, jnp.float32),
+        sp.eot, sp.timestamp_begin, cfg, max_new))
+
+    for seq in tokens:
+        seq = [int(t) for t in seq if t != sp.eot]
+        # pattern: t0 TXT t1 [t1 TXT t2 ...] — every closing timestamp
+        # must exceed its opener
+        opens = seq[0::3]
+        closes = seq[2::3]
+        for o, c in zip(opens, closes):
+            assert o >= sp.timestamp_begin and c >= sp.timestamp_begin
+            assert c > o, f"zero-duration pair in {seq}"
