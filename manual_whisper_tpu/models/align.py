@@ -37,7 +37,10 @@ from .wav2vec2 import (Wav2Vec2Config, convert_wav2vec2_state_dict,
 # DEFAULT_ALIGN_MODELS (zh call site: transcribe.py:130).
 DEFAULT_ALIGN_MODELS: Dict[str, str] = {
     "zh": "jonatasgrosman/wav2vec2-large-xlsr-53-chinese-zh-cn",
-    "en": "facebook/wav2vec2-base-960h",
+    # whisperx's en default (torchaudio WAV2VEC2_ASR_BASE_960H) is the
+    # group-norm/post-LN variant this stable-LN implementation cannot
+    # convert; the XLSR-53 English fine-tune is the stable-LN equivalent
+    "en": "jonatasgrosman/wav2vec2-large-xlsr-53-english",
     "ja": "jonatasgrosman/wav2vec2-large-xlsr-53-japanese",
     "fr": "jonatasgrosman/wav2vec2-large-xlsr-53-french",
     "de": "jonatasgrosman/wav2vec2-large-xlsr-53-german",
@@ -248,13 +251,20 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
             # wav2vec2 expects zero-mean/unit-variance input; clips are
             # padded to the bucket ladder so XLA compiles one program per
             # bucket instead of one per unique segment length
+            if 2 * len(labels) + 1 > n_frames:
+                # infeasible CTC trellis (hallucinated over-long text in
+                # a short clip): every path is -inf and backtracking
+                # would wrap to nonsense spans — keep segment timestamps
+                # for these characters instead
+                continue
             norm = (clip - clip.mean()) / np.sqrt(clip.var() + 1e-7)
             bucket = _len_bucket(len(norm))
             padded = np.zeros(bucket, np.float32)
             padded[: len(norm)] = norm
             groups.setdefault(bucket, []).append(len(prep))
             my_prep.append(len(prep))
-            prep.append({"row": padded, "n_frames": n_frames,
+            prep.append({"row": padded, "n_samples": len(norm),
+                         "n_frames": n_frames,
                          "labels": labels, "char_idx": char_idx,
                          "start": p_start, "text": p_text})
         seg_pieces.append(my_prep)
@@ -266,13 +276,21 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
             chunk = idxs[lo: lo + _ALIGN_ROW_BUCKETS[-1]]
             rows = _row_bucket(len(chunk))
             batch = np.zeros((rows, bucket), np.float32)
+            n_valid = np.zeros(rows, np.int32)
             for r, pi in enumerate(chunk):
                 batch[r] = prep[pi]["row"]
-            out = _w2v_logits_jit(model.params, batch, model.cfg)
+                n_valid[r] = prep[pi]["n_samples"]
+            # n_valid masks bucket padding inside the forward — without
+            # it the padded tail shifts every valid frame's logits
+            out = _w2v_logits_jit(model.params, batch, model.cfg,
+                                  jnp.asarray(n_valid))
             for r, pi in enumerate(chunk):
                 pending[pi] = (out, r)
 
-    # phase 3: fetch + trellis in original order
+    # phase 3: fetch + trellis in original order.  Each batched output is
+    # fetched/f64-converted ONCE (it is shared by up to 8 pieces; per-piece
+    # conversion would multiply the dominant device->host transfer cost)
+    fetched: Dict[int, np.ndarray] = {}
     for si, seg in enumerate(segments):
         seg_out = dict(seg)
         seg_out["words"] = []
@@ -284,7 +302,11 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
         for pi in seg_pieces[si]:
             info = prep[pi]
             out, r = pending[pi]
-            log_probs = np.asarray(out, np.float64)[r, : info["n_frames"]]
+            arr = fetched.get(id(out))
+            if arr is None:
+                arr = np.asarray(out, np.float64)
+                fetched[id(out)] = arr
+            log_probs = arr[r, : info["n_frames"]]
             p_start, text = info["start"], info["text"]
             labels, char_idx = info["labels"], info["char_idx"]
 

@@ -78,7 +78,18 @@ def _basic_block(x, p, stride):
 @partial(jax.jit, static_argnames=("cfg",))
 def embed_forward(params: Dict[str, Any], feats: jnp.ndarray,
                   cfg: EmbeddingConfig) -> jnp.ndarray:
-    """feats [B, T, n_mels] (log-mel) -> L2-normalised embeddings [B, D]."""
+    """feats [B, T, n_mels] (log-mel) -> L2-normalised embeddings [B, D].
+
+    Variable-length batching note (measured on the synth eval, round 3):
+    clips are zero-padded to length buckets.  The pooled statistics see
+    the pad floor, which in principle skews mean/std by pad fraction —
+    but both alternatives measured WORSE with the trained checkpoint
+    (clip-tiling: DER 0.094/0.250 vs 0.066/0.228 on the 3/4-speaker
+    conditions; masked pooling: cos 0.81 to the unpadded embedding with
+    random weights — the deep conv receptive field smears the pad floor
+    into the valid frames either way, and training also saw
+    silence-padded clips).  Revisit with converted real wespeaker
+    weights (pyannote itself pools with masks)."""
     x = feats[..., None].astype(jnp.float32)       # [B, T, F, 1]
     x = jax.nn.relu(_bn(_conv2d(x, params["stem_w"], 1), params["stem_bn"]))
     for si, stage in enumerate(params["stages"]):
@@ -403,6 +414,7 @@ class DiarizationPipeline:
                  embedding_cfg: Optional[EmbeddingConfig] = None,
                  window_sec: float = 3.0,
                  step_sec: float = 1.5,
+                 seg_step_sec: Optional[float] = None,
                  threshold: float = 0.7):
         from .vad import PyanNetConfig, load_segmentation_params
         if segmentation_params is None:
@@ -434,6 +446,11 @@ class DiarizationPipeline:
         self.embedding_cfg = embedding_cfg or EmbeddingConfig()
         self.window_sec = window_sec
         self.step_sec = step_sec
+        # sliding stride of the PyanNet segmentation windows; None keeps
+        # the default half-window overlap (step_sec only governs the
+        # weightless windows flow — clamping it here silently discarded
+        # sub-half-window values)
+        self.seg_step_sec = seg_step_sec
         self.threshold = threshold
 
     # _embed pads clips to this ladder (seconds): embed_forward jits per
@@ -460,8 +477,6 @@ class DiarizationPipeline:
         _EMBED_ROW_CHUNK-row device batches: at most
         len(_EMBED_LEN_BUCKETS_SEC) compiled programs total, and ~N/32
         dispatches instead of N."""
-        if self.embedding_params is None:
-            return np.stack([spectral_stats_embedding(c) for c in clips])
         out = [None] * len(clips)
         groups: Dict[int, List[int]] = {}
         for i, c in enumerate(clips):
@@ -470,9 +485,19 @@ class DiarizationPipeline:
             for lo in range(0, len(idxs), self._EMBED_ROW_CHUNK):
                 sel = idxs[lo: lo + self._EMBED_ROW_CHUNK]
                 rows = np.zeros((self._EMBED_ROW_CHUNK, bucket), np.float32)
+                frames = np.ones(self._EMBED_ROW_CHUNK, np.int32)
                 for r, i in enumerate(sel):
                     c = clips[i][:bucket]
                     rows[r, : len(c)] = c
+                    frames[r] = max(len(c), 400) // 160
+                if self.embedding_params is None:
+                    # batched masked fallback (same path as windows) —
+                    # per-clip eager mels would pay a device round trip
+                    # per entry
+                    emb = np.asarray(_stats_emb_jit(rows, frames, 40))
+                    for r, i in enumerate(sel):
+                        out[i] = emb[r]
+                    continue
                 if self._embed_device is not None:
                     rows = jax.device_put(rows, self._embed_device)
                 mel = unnormalized_log_mel(rows, self.embedding_cfg.n_mels)
@@ -532,7 +557,9 @@ class DiarizationPipeline:
 
         seg_cfg = self.vad.cfg
         window = int(seg_cfg.window_sec * SAMPLE_RATE)
-        step = max(int(self.step_sec * SAMPLE_RATE), window // 2)
+        step = (max(int(self.seg_step_sec * SAMPLE_RATE),
+                    SAMPLE_RATE // 4)
+                if self.seg_step_sec else window // 2)
         n = len(audio)
         starts = list(range(0, max(n - window // 2, 1), step))
         batch = np.zeros((len(starts), window), np.float32)

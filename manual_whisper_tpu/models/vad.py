@@ -84,12 +84,13 @@ class PyanNetConfig:
     window_sec: float = 10.0
     @property
     def frames_per_window(self) -> int:
-        # stride 10, three maxpools of 3 => 270 samples/frame
+        """Output frames of pyannet_forward for one window: sinc conv
+        (VALID) -> pool3 -> twice (conv VALID k=conv_kernel -> pool3)."""
         n = int(self.window_sec * SAMPLE_RATE)
         n = (n - self.sinc_kernel) // self.sinc_stride + 1
-        for _ in range(3):
-            n = n // 3
-            n = n - self.conv_kernel + 1 if False else n
+        n //= 3
+        for _ in range(2):
+            n = (n - self.conv_kernel + 1) // 3
         return n
 
 
@@ -220,9 +221,9 @@ def pyannet_forward(params: Dict, audio: jnp.ndarray,
     x = _instance_norm(x, params["in_norm"]["g"], params["in_norm"]["b"])
 
     filt = sinc_filters(params["sinc_low_hz"], params["sinc_band_hz"],
-                        kernel=251)
+                        kernel=cfg.sinc_kernel)
     x = jax.lax.conv_general_dilated(
-        x, filt, window_strides=(10,), padding="VALID",
+        x, filt, window_strides=(cfg.sinc_stride,), padding="VALID",
         dimension_numbers=("NTC", "TIO", "NTC"))       # [B, T', 80]
 
     def pool3(y):

@@ -66,9 +66,16 @@ def _ln(x, g, b, eps=1e-5):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def wav2vec2_logits(params: Params, audio: jnp.ndarray,
-                    cfg: Wav2Vec2Config) -> jnp.ndarray:
+                    cfg: Wav2Vec2Config,
+                    n_valid: jnp.ndarray = None) -> jnp.ndarray:
     """audio [B, T] (zero-mean/unit-var normalised) -> CTC log-probs
-    [B, frames, vocab]."""
+    [B, frames, vocab].
+
+    ``n_valid`` [B] gives the real (pre-padding) sample count per row:
+    hidden states past the corresponding frame count are zeroed and
+    attention keys there masked (HF attention_mask semantics) so
+    length-bucket padding cannot contaminate the valid frames' logits.
+    None = every row fully valid."""
     x = audio[:, :, None].astype(jnp.float32)            # [B, T, 1]
 
     # conv feature extractor (layer-norm variant: LN after every conv)
@@ -77,13 +84,27 @@ def wav2vec2_logits(params: Params, audio: jnp.ndarray,
         x = jax.lax.conv_general_dilated(
             x, conv["w"], window_strides=(s,), padding="VALID",
             dimension_numbers=("NTC", "TIO", "NTC"))
+        if "b" in conv:       # conv_bias=true checkpoints (XLSR-53 etc.)
+            x = x + conv["b"]
         x = _ln(x, conv["ln_g"], conv["ln_b"])
         x = jax.nn.gelu(x, approximate=False)
+
+    frame_mask = None
+    if n_valid is not None:
+        nf = jnp.asarray(n_valid, jnp.int32)
+        for _, k, s in CONV_LAYERS:
+            nf = jnp.maximum((nf - k) // s + 1, 0)
+        nf = jnp.maximum(nf, 1)   # all-masked rows would NaN the softmax
+        frame_mask = (jnp.arange(x.shape[1])[None, :]
+                      < nf[:, None])                     # [B, frames]
+        x = jnp.where(frame_mask[:, :, None], x, 0.0)
 
     # feature projection
     x = _ln(x, params["fp_ln_g"], params["fp_ln_b"])
     x = x @ params["fp_w"] + params["fp_b"]
     x = x.astype(cfg.dtype)
+    if frame_mask is not None:
+        x = jnp.where(frame_mask[:, :, None], x, 0.0)
 
     # positional conv embedding (grouped conv, SAME-ish padding k//2 both
     # sides then drop one if kernel even — HF semantics)
@@ -114,6 +135,8 @@ def wav2vec2_logits(params: Params, audio: jnp.ndarray,
         v = heads(a_in @ blk["v_w"] + blk["v_b"])
         s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
                        preferred_element_type=jnp.float32)
+        if frame_mask is not None:
+            s = jnp.where(frame_mask[:, None, None, :], s, -jnp.inf)
         p = jax.nn.softmax(s, axis=-1).astype(h.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
@@ -202,14 +225,21 @@ def convert_wav2vec2_state_dict(state_dict, cfg: Wav2Vec2Config) -> Params:
 
     conv = []
     for i in range(len(CONV_LAYERS)):
-        conv.append({
+        layer = {
             "w": npy(sd[f"feature_extractor.conv_layers.{i}.conv.weight"]
                      ).transpose(2, 1, 0),
             "ln_g": npy(sd[f"feature_extractor.conv_layers.{i}"
                            ".layer_norm.weight"]),
             "ln_b": npy(sd[f"feature_extractor.conv_layers.{i}"
                            ".layer_norm.bias"]),
-        })
+        }
+        # conv_bias=true checkpoints (every XLSR-53 fine-tune) carry a
+        # per-channel conv bias that LN does NOT absorb — dropping it
+        # silently corrupts all downstream logits
+        bias_key = f"feature_extractor.conv_layers.{i}.conv.bias"
+        if bias_key in sd:
+            layer["b"] = npy(sd[bias_key])
+        conv.append(layer)
 
     def blocks():
         out = []

@@ -173,3 +173,72 @@ def test_random_align_model_fallback(monkeypatch):
     c.clear_env_cache()
     with pytest.raises(FileNotFoundError):
         load_align_model("zh")
+
+
+def test_wav2vec2_parity_vs_hf_conv_bias():
+    """XLSR-53 fine-tunes (every default align checkpoint) have
+    conv_bias=true; the converter must carry the biases and the forward
+    must apply them (LN does not absorb a per-channel conv bias)."""
+    import torch
+    from transformers import Wav2Vec2Config as HFW2V2Config
+    from transformers import Wav2Vec2ForCTC
+
+    torch.manual_seed(1)
+    hf = Wav2Vec2ForCTC(HFW2V2Config(**{**HF_TINY, "conv_bias": True})
+                        ).eval()
+    # give the biases real values (fresh HF init zeroes them)
+    with torch.no_grad():
+        for layer in hf.wav2vec2.feature_extractor.conv_layers:
+            layer.conv.bias.uniform_(-0.5, 0.5)
+    cfg = Wav2Vec2Config(vocab_size=12, hidden=64, n_layers=2, n_heads=2,
+                         ffn=128, conv_dim=32, pos_conv_kernel=16,
+                         pos_conv_groups=2)
+    params = convert_wav2vec2_state_dict(hf.state_dict(), cfg)
+    assert "b" in params["conv"][0]
+
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal((2, SR)).astype(np.float32)
+    with torch.no_grad():
+        theirs = torch.log_softmax(
+            hf(torch.from_numpy(audio)).logits, dim=-1).numpy()
+    ours = np.asarray(wav2vec2_logits(params, audio, cfg))
+    np.testing.assert_allclose(ours, theirs, atol=5e-3)
+
+
+def test_wav2vec2_padding_invariance_with_mask():
+    """Bucket padding with n_valid masking must reproduce the logits of
+    running the clip alone (HF attention_mask semantics) — without the
+    mask, padded rows contaminate every valid frame through attention."""
+    import jax
+    import jax.numpy as jnp
+    cfg = Wav2Vec2Config.tiny_test()
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    clip = rng.standard_normal(SR).astype(np.float32)       # 1 s
+    alone = np.asarray(wav2vec2_logits(params, clip[None], cfg))
+
+    padded = np.zeros((2, 4 * SR), np.float32)               # 4 s bucket
+    padded[0, :SR] = clip
+    n_valid = jnp.asarray([SR, 0], jnp.int32)
+    masked = np.asarray(wav2vec2_logits(params, padded, cfg, n_valid))
+    nf = frames_for_samples(SR)
+    np.testing.assert_allclose(masked[0, :nf], alone[0, :nf],
+                               atol=2e-3, rtol=1e-3)
+    assert np.isfinite(masked).all()
+
+    unmasked = np.asarray(wav2vec2_logits(params, padded, cfg))
+    assert np.abs(unmasked[0, :nf] - alone[0, :nf]).max() > 1e-3
+
+
+def test_align_infeasible_trellis_skipped(tiny_align_model):
+    """Hallucinated over-long text in a tiny clip (2N+1 states > frames)
+    must fall back to segment timestamps, not backtrack into garbage."""
+    rng = np.random.default_rng(3)
+    audio = (0.1 * rng.standard_normal(int(SR * 0.3))).astype(np.float32)
+    text = "你" * 200   # 401 trellis states vs ~14 frames
+    out = align([{"text": text, "start": 0.0, "end": 0.3}],
+                tiny_align_model, audio)
+    seg = out["segments"][0]
+    assert seg["start"] == 0.0 and seg["end"] == 0.3
+    assert seg["words"] == []          # no fabricated word timings
+    assert out["word_segments"] == []

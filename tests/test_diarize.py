@@ -265,3 +265,33 @@ def test_load_embedding_params_jax_registry(tmp_path, monkeypatch):
     emb = np.asarray(embed_forward(loaded, mel, cfg))
     assert emb.shape == (1, cfg.embed_dim)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-4)
+
+
+def test_embed_clips_batched_fallback_matches_windows_path():
+    """Weightless _embed_clips must use the batched masked stats path
+    (one dispatch per chunk, same function as the windows flow), not a
+    per-clip eager mel — and its output must match the documented
+    spectral_stats_embedding semantics."""
+    from manual_whisper_tpu.models.diarize import (DiarizationPipeline,
+                                                   spectral_stats_embedding)
+    rng = np.random.default_rng(0)
+    clips = [(0.3 * rng.standard_normal(int(SR * s))).astype(np.float32)
+             for s in (0.7, 1.4, 2.9)]
+    pipe = DiarizationPipeline(segmentation_params={},  # unused here
+                               embedding_params=None)
+    batched = pipe._embed_clips(clips)
+    for c, got in zip(clips, batched):
+        ref = spectral_stats_embedding(c)
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_pyannet_frames_per_window_matches_forward():
+    import jax
+    from manual_whisper_tpu.models.vad import (PyanNetConfig,
+                                               init_pyannet_params,
+                                               pyannet_forward)
+    cfg = PyanNetConfig()
+    params = init_pyannet_params(jax.random.PRNGKey(0), cfg)
+    out = pyannet_forward(
+        params, np.zeros((1, int(cfg.window_sec * SR)), np.float32), cfg)
+    assert out.shape[1] == cfg.frames_per_window

@@ -14,7 +14,7 @@ torch-free registry form load_align_model prefers), with a SYNTH_TRAINED
 provenance marker.
 
 Usage: python tools/train_synth_align.py [--steps 1500] [--batch 16]
-       [--out .weights/facebook--wav2vec2-base-960h]
+       [--out .weights/jonatasgrosman--wav2vec2-large-xlsr-53-english]
 """
 
 import argparse
@@ -36,7 +36,7 @@ def main() -> int:
                          "bucket VAD-sized segments pad to")
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=23)
-    ap.add_argument("--out", default=".weights/facebook--wav2vec2-base-960h")
+    ap.add_argument("--out", default=".weights/jonatasgrosman--wav2vec2-large-xlsr-53-english")
     ap.add_argument("--platform", default="cpu",
                     help="cpu (default: the 2-layer model trains in "
                          "minutes and the axon backend compiles "
