@@ -78,6 +78,11 @@ class RateLimiter:
               ) -> bool:
         now = now if now is not None else time.time()
         with self._lock:
+            # drop expired windows occasionally: one entry per client IP
+            # forever is an unbounded leak under address-sweeping traffic
+            if len(self._state) > 4096:
+                self._state = {k: v for k, v in self._state.items()
+                               if now - v[0] <= RATE_LIMIT_WINDOW_SEC}
             start, count = self._state.get(key, (now, 0))
             if now - start > RATE_LIMIT_WINDOW_SEC:
                 start, count = now, 0
@@ -246,6 +251,11 @@ class JobStore:
             finally:
                 job.finished_at = time.time()
                 self._persist(job)
+                # free the per-IP active slot at completion: releasing
+                # only on an owner poll (the reference's shape,
+                # transcribe.js:204-209) locks an abandoned client out
+                # with 429s until the 24 h TTL prune
+                self.release_if_done(job)
 
 
 class PipelineBackend:

@@ -94,10 +94,10 @@ def run_second_pass(audio: np.ndarray, language: str,
     # (mock transcribers in tests keep the minimal 5-arg signature)
     import inspect
     try:
-        accepted = set(inspect.signature(transcribe_clip).parameters)
-        takes_kwargs = any(
-            p.kind is inspect.Parameter.VAR_KEYWORD
-            for p in inspect.signature(transcribe_clip).parameters.values())
+        sig = inspect.signature(transcribe_clip)
+        accepted = set(sig.parameters)
+        takes_kwargs = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                           for p in sig.parameters.values())
     except (TypeError, ValueError):
         accepted, takes_kwargs = set(), False
     extra = {"batch_size": opts.batch_size,

@@ -84,8 +84,22 @@ class AppState:
         self.upload_dir.mkdir(parents=True, exist_ok=True)
         self.web_dir = Path(web_dir) if web_dir else None
         self.uploads: dict = {}
+        self.upload_times: dict = {}
         self.second_pass_lock = threading.Lock()
         self.second_pass_running: set = set()
+
+    def prune_uploads(self, ttl_sec: float = 24 * 3600.0) -> None:
+        """Drop upload files + map entries older than the job TTL —
+        without this every upload leaks ~100 MB of disk and a dict entry
+        forever (job metadata already gets the same 24 h prune)."""
+        now = time.time()
+        dead = [fid for fid, ts in self.upload_times.items()
+                if now - ts > ttl_sec]
+        for fid in dead:
+            path = self.uploads.pop(fid, None)
+            self.upload_times.pop(fid, None)
+            if path:
+                Path(path).unlink(missing_ok=True)
 
 
 def _timing_safe_equal(a: str, b: str) -> bool:
@@ -161,7 +175,10 @@ class Handler(BaseHTTPRequestHandler):
             return None
         shared = config.get_env("APP_SHARED_KEY")
         if not shared:
-            return None
+            # fail CLOSED like _check_upload_key: enforcement explicitly
+            # on + key missing must not silently open the job API
+            return (500, "Missing APP_SHARED_KEY while "
+                         "ENFORCE_APP_SHARED_KEY=true")
         auth = self.headers.get("authorization")
         if not auth or not _timing_safe_equal(auth, f"Bearer {shared}"):
             return (401, "Unauthorized")
@@ -186,22 +203,26 @@ class Handler(BaseHTTPRequestHandler):
 
     # -- upload (C4) -------------------------------------------------------------
     def _read_body_capped(self, length: int) -> bytes:
-        """Stream the request body in chunks with a per-chunk cap check and
-        a socket read timeout (the reference streams chunks with a running
-        total, upload.js:100-136; a one-shot ``rfile.read`` lets a
-        slow-loris client pin a server thread indefinitely)."""
+        """Stream the request body in chunks under a socket read timeout
+        (the reference streams chunks with a running total,
+        upload.js:100-136; a one-shot ``rfile.read`` lets a slow-loris
+        client pin a server thread indefinitely).
+
+        Raises UploadTooLarge when ``length`` exceeds the cap (defense in
+        depth — callers pre-check) and ConnectionError when the client
+        disconnects before delivering ``length`` bytes: a truncated body
+        must never be stored and acknowledged with 200 as valid audio."""
+        if length > MAX_UPLOAD_BYTES:
+            raise UploadTooLarge()
         timeout = config.get_float("MWX_UPLOAD_READ_TIMEOUT_SEC", 30.0)
         self.connection.settimeout(timeout)
         chunks: list = []
-        total = 0
         remaining = length
         while remaining > 0:
             chunk = self.rfile.read(min(65536, remaining))
             if not chunk:
-                break
-            total += len(chunk)
-            if total > MAX_UPLOAD_BYTES:
-                raise UploadTooLarge()
+                raise ConnectionError(
+                    f"client disconnected {remaining} bytes early")
             chunks.append(chunk)
             remaining -= len(chunk)
         return b"".join(chunks)
@@ -220,6 +241,9 @@ class Handler(BaseHTTPRequestHandler):
         except UploadTooLarge:
             return self._json(413,
                               {"error": "Upload too large (max 100MB)"})
+        except ConnectionError:
+            self.close_connection = True
+            return self._json(400, {"error": "Incomplete upload body"})
         except (TimeoutError, OSError):
             self.close_connection = True
             return self._json(408, {"error": "Upload read timed out"})
@@ -250,6 +274,8 @@ class Handler(BaseHTTPRequestHandler):
             status, message = map_upload_error(500, str(exc))
             return self._json(status, {"error": message})
         self.state.uploads[file_id] = str(dest)
+        self.state.upload_times[file_id] = time.time()
+        self.state.prune_uploads()
 
         host = self.headers.get("host", "127.0.0.1")
         file_url = f"http://{host}/api/files/{file_id}{suffix}"
@@ -273,6 +299,7 @@ class Handler(BaseHTTPRequestHandler):
     # -- transcribe create (C5 POST) ----------------------------------------------
     def handle_transcribe_post(self):
         self.state.store.prune()
+        self.state.prune_uploads()
         err = self._check_bearer_key()
         if err:
             return self._json(err[0], {"error": err[1]})
@@ -287,10 +314,15 @@ class Handler(BaseHTTPRequestHandler):
                 "error": f"Too many active jobs. Wait until one completes "
                          f"(max {store.max_active_per_ip})."})
 
+        # JSON control body: tiny by contract — cap it and read under the
+        # same socket timeout as uploads (an uncapped one-shot read lets
+        # a client pin the thread or buffer gigabytes)
         length = int(self.headers.get("content-length", 0) or 0)
+        if length > 1 << 20:
+            return self._json(413, {"error": "Request body too large"})
         try:
-            body = json.loads(self.rfile.read(length) or b"{}")
-        except ValueError:
+            body = json.loads(self._read_body_capped(length) or b"{}")
+        except (ValueError, OSError):
             body = {}
         file_url = body.get("fileUrl")
         req_language = body.get("language")
@@ -456,7 +488,10 @@ class Handler(BaseHTTPRequestHandler):
             return self._json(404, {"error": "Not found"})
         rel = path.lstrip("/") or "index.html"
         target = (web_dir / rel).resolve()
-        if not str(target).startswith(str(web_dir.resolve())) \
+        # is_relative_to, not startswith: a plain prefix check lets
+        # 'GET /../web-private/x' escape to a sibling dir that shares
+        # web_dir's name as a string prefix
+        if not target.is_relative_to(web_dir.resolve()) \
                 or not target.is_file():
             return self._json(404, {"error": "Not found"})
         ctype = {

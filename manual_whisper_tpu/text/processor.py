@@ -274,7 +274,13 @@ def _push_removed_range(collector: List[dict], start, end, reason: str) -> None:
 
 def _build_quality_report(input_segments, output_segments, removed_ranges,
                           stats, opts: PostProcessOptions) -> dict:
-    """Reference: processor.js:234-266 — field names are contract."""
+    """Reference: processor.js:234-266 — field names are contract.
+
+    Note: output_segments are the POST-merge segments (processor.js:111
+    passes finalSegments), whose spans absorb the <=0.6 s merge gaps —
+    so coverage_ratio can read slightly high and mask the low-coverage
+    warning.  Kept as-is: the reference computes it the same way and the
+    two implementations must agree on the emitted numbers."""
     input_speech_sec = _sum_speech_seconds(input_segments)
     output_speech_sec = _sum_speech_seconds(output_segments)
     removed_speech_sec = max(0.0, input_speech_sec - output_speech_sec)

@@ -582,3 +582,112 @@ def test_second_pass_result_survives_restart(tmp_path):
     assert restored.second_pass_result is not None
     assert restored.second_pass_result["second_pass"][
         "recovered_segments"] == 1
+
+
+def test_bearer_auth_fails_closed_when_key_missing(server, monkeypatch):
+    """ENFORCE_APP_SHARED_KEY=true with APP_SHARED_KEY unset must 500 on
+    the job API (like the upload path), not silently serve
+    unauthenticated."""
+    from manual_whisper_tpu import config as mwx_config
+    srv, backend, base = server
+    monkeypatch.setenv("ENFORCE_APP_SHARED_KEY", "true")
+    monkeypatch.delenv("APP_SHARED_KEY", raising=False)
+    mwx_config.clear_env_cache()
+    try:
+        status, out = _req("POST", f"{base}/api/transcribe",
+                           data=b"{}")
+        assert status == 500 and "APP_SHARED_KEY" in out["error"]
+        status, _ = _req("GET", f"{base}/api/transcribe?id=x")
+        assert status == 500
+    finally:
+        monkeypatch.delenv("ENFORCE_APP_SHARED_KEY", raising=False)
+        mwx_config.clear_env_cache()
+
+
+def test_static_no_sibling_directory_escape(tmp_path):
+    """Path containment must not be a string-prefix check: /srv/web must
+    not serve /srv/web-private/* via raw ../ paths."""
+    import http.client
+    web = tmp_path / "web"
+    web.mkdir()
+    (web / "index.html").write_text("<html>ok</html>")
+    sibling = tmp_path / "web-private"
+    sibling.mkdir()
+    (sibling / "secret.txt").write_text("TOP SECRET")
+
+    backend = MockBackend()
+    srv = create_server(backend, host="127.0.0.1", port=0,
+                        upload_dir=str(tmp_path / "up"),
+                        web_dir=str(web))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        # raw request: urllib normalizes ../, http.client does not
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", srv.server_address[1], timeout=10)
+        conn.putrequest("GET", "/../web-private/secret.txt",
+                        skip_host=False)
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 404, body
+        assert b"TOP SECRET" not in body
+        conn.close()
+    finally:
+        srv.shutdown()
+
+
+def test_truncated_upload_rejected(server):
+    """A body shorter than Content-Length (client disconnect) must not be
+    stored and acknowledged as valid audio."""
+    import http.client
+    srv, backend, base = server
+    host, port = srv.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    conn.putrequest("POST", "/api/upload")
+    conn.putheader("Content-Length", "50000")
+    conn.putheader("x-file-name", "a.wav")
+    conn.endheaders()
+    conn.send(b"\x00" * 1000)   # then close early
+    conn.sock.shutdown(1)       # no more writes
+    resp = conn.getresponse()
+    assert resp.status in (400, 408)
+    conn.close()
+    assert not list((srv.app_state.upload_dir).glob("*"))
+
+
+def test_transcribe_post_body_capped(server):
+    srv, backend, base = server
+    status, out = _req(
+        "POST", f"{base}/api/transcribe", data=b"x" * 100,
+        headers={"Content-Length": str(9 * 1024 * 1024 * 1024)})
+    assert status == 413
+
+
+def test_upload_prune_removes_old_files(server, tmp_path):
+    srv, backend, base = server
+    _upload_wav(base, tmp_path)
+    state = srv.app_state
+    assert len(state.uploads) == 1
+    fid = next(iter(state.uploads))
+    state.upload_times[fid] -= 25 * 3600     # age it past the TTL
+    state.prune_uploads()
+    assert not state.uploads and not list(state.upload_dir.glob("*"))
+
+
+def test_finished_job_releases_active_slot_without_poll(server, tmp_path):
+    """An abandoned client (never polls) must not stay locked out of new
+    jobs until the 24 h TTL."""
+    import time as _t
+    srv, backend, base = server
+    srv.app_state.store.max_active_per_ip = 1
+    file_url = _upload_wav(base, tmp_path)
+    _, first = _req("POST", f"{base}/api/transcribe",
+                    data=json.dumps({"fileUrl": file_url}).encode())
+    deadline = _t.time() + 5
+    while srv.app_state.store.active_count("127.0.0.1") > 0:
+        assert _t.time() < deadline, "active slot never released"
+        _t.sleep(0.05)
+    status, _ = _req("POST", f"{base}/api/transcribe",
+                     data=json.dumps({"fileUrl": file_url}).encode())
+    assert status in (200, 201)   # created, not 429
