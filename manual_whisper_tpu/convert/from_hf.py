@@ -150,14 +150,27 @@ def load_whisper_checkpoint(path, dtype=None
     cfg = hf_config_to_whisper_config(hf_cfg, name=path.name)
 
     st = path / "model.safetensors"
+    index = path / "model.safetensors.index.json"
     if st.exists():
         from safetensors.numpy import load_file
         sd = load_file(str(st))
-    else:
+    elif index.exists():
+        # sharded checkpoint (fp32 large models save this way by default)
+        from safetensors.numpy import load_file
+        shards = sorted({v for v in json.loads(
+            index.read_text())["weight_map"].values()})
+        sd = {}
+        for shard in shards:
+            sd.update(load_file(str(path / shard)))
+    elif (path / "pytorch_model.bin").exists():
         import torch
-        bin_path = path / "pytorch_model.bin"
-        sd = torch.load(str(bin_path), map_location="cpu",
-                        weights_only=True)
+        sd = torch.load(str(path / "pytorch_model.bin"),
+                        map_location="cpu", weights_only=True)
+    else:
+        raise FileNotFoundError(
+            f"no weights under {path}: expected model.safetensors, "
+            "model.safetensors.index.json (+ shards), or "
+            "pytorch_model.bin")
     return convert_whisper_state_dict(sd, cfg, dtype=dtype), cfg
 
 

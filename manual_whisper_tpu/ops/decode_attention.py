@@ -78,8 +78,7 @@ def _attend_all_heads(q, k, v, valid_mask, scale, k_scale=None,
 # ---------------------------------------------------------------------------
 
 def _cross_int8_kernel(kv_len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                       out_ref, *, scale: float, n_head: int):
-    del n_head
+                       out_ref, *, scale: float):
     kv_len = kv_len_ref[0]
     t = kq_ref.shape[-1]
     valid = (jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) < kv_len)
@@ -119,7 +118,7 @@ def decode_cross_attention_int8(q: jnp.ndarray, k_q: jnp.ndarray,
     k_s, v_s = jnp.pad(k_s, pad), jnp.pad(v_s, pad)
 
     out = pl.pallas_call(
-        functools.partial(_cross_int8_kernel, scale=scale, n_head=h),
+        functools.partial(_cross_int8_kernel, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
@@ -149,8 +148,7 @@ def decode_cross_attention_int8(q: jnp.ndarray, k_q: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _cross_bf16_kernel(kv_len_ref, q_ref, k_ref, v_ref, out_ref,
-                       *, scale: float, n_head: int):
-    del n_head
+                       *, scale: float):
     kv_len = kv_len_ref[0]
     t = k_ref.shape[-1]
     valid = (jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) < kv_len)
@@ -177,7 +175,7 @@ def decode_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     k, v = jnp.pad(k, pad), jnp.pad(v, pad)
 
     out = pl.pallas_call(
-        functools.partial(_cross_bf16_kernel, scale=scale, n_head=h),
+        functools.partial(_cross_bf16_kernel, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
@@ -204,8 +202,7 @@ def decode_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _self_kernel(pos_ref, q_ref, k_ref, v_ref, out_ref,
-                 *, scale: float, n_head: int):
-    del n_head
+                 *, scale: float):
     pos = pos_ref[0]
     t = k_ref.shape[-1]
     valid = (jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) <= pos)
@@ -235,7 +232,7 @@ def decode_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qf = q.reshape(b, h, dh)
 
     out = pl.pallas_call(
-        functools.partial(_self_kernel, scale=scale, n_head=h),
+        functools.partial(_self_kernel, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),

@@ -49,7 +49,12 @@ def is_quantized(w: Any) -> bool:
 
 
 def mm(x: jnp.ndarray, w: Any) -> jnp.ndarray:
-    """x @ w for plain or quantized weights (the model's matmul helper)."""
+    """x @ w for plain or quantized weights (the model's matmul helper).
+
+    Quantized form: per-layer 2-D ``{"q": [K, N] int8, "s": [N] f32}``.
+    Layer-STACKED quantized trees ([L, K, N], as quantize_params emits
+    for block stacks) must be sliced per layer first — every model call
+    site does this inside its lax.scan body."""
     if not is_quantized(w):
         return x @ w
     y = jax.lax.dot_general(
@@ -111,7 +116,10 @@ def int8_matmul_pallas(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
     _, n = q.shape
     block_n = min(block_n, n)
     if n % block_n != 0:
-        raise ValueError(f"N={n} not divisible by block_n={block_n}")
+        # largest divisor of N that fits the requested block (1280/1024
+        # etc. are not divisible by 512; a hard error would reject the
+        # model's own attention dims)
+        block_n = next(b for b in range(block_n, 0, -1) if n % b == 0)
     return pl.pallas_call(
         _int8_mm_kernel,
         grid=(n // block_n,),

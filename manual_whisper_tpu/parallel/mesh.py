@@ -119,7 +119,13 @@ def sharding_pytree(params, mesh: Mesh):
                     else rule
                 return {"q": NamedSharding(mesh, rule),
                         "s": NamedSharding(mesh, s_spec)}
-            return {k: resolve(v, rule[k]) for k, v in p.items()}
+            # keys outside the template (custom heads, future params)
+            # default to replicated rather than KeyError-ing the load
+            return {k: resolve(v, rule.get(k, P())
+                               if isinstance(rule, dict) else P())
+                    for k, v in p.items()}
+        if isinstance(rule, dict):   # template expected a subtree here
+            rule = P()
         return NamedSharding(mesh, rule)
 
     return resolve(params, rules)
@@ -132,8 +138,10 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard the leading (batch) axis of every leaf over the data axis."""
+    """Shard the leading (batch) axis of every leaf over the data axis;
+    rank-0 leaves (scalars — e.g. a temperature) replicate."""
     def put(x):
-        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        spec = (P(DATA_AXIS, *([None] * (x.ndim - 1)))
+                if getattr(x, "ndim", 0) > 0 else P())
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree.map(put, batch)

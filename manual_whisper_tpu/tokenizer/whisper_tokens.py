@@ -131,7 +131,23 @@ class WhisperTokenizer:
                 num_languages = json.loads(cfg.read_text()).get(
                     "num_languages", 100)
             else:
-                num_languages = 100
+                # infer from the HF added-tokens table: large-v3 adds
+                # <|yue|> (100 languages), earlier multilingual models
+                # stop at 99.  Silently assuming 100 would shift every
+                # special token by one for tiny..large-v2 dirs (e.g.
+                # timestamp_begin 50365 vs 50364) with no error.
+                added = path / "added_tokens.json"
+                if added.exists():
+                    toks = json.loads(added.read_text())
+                    num_languages = 100 if "<|yue|>" in toks else 99
+                else:
+                    raise ValueError(
+                        f"cannot infer the tokenizer's language count "
+                        f"from {path} (no tokenizer_meta.json or "
+                        "added_tokens.json): pass num_languages "
+                        "explicitly (99 for tiny..large-v2, 100 for "
+                        "large-v3) — special-token ids differ between "
+                        "the two layouts")
         return cls(bpe, num_languages=num_languages, **kw)
 
     # -- special-token helpers ----------------------------------------------
@@ -189,15 +205,16 @@ class WhisperTokenizer:
                     "(\"", "((", "))", "(((", ")))", "[[", "]]", "{{", "}}",
                     "♪♪", "♪♪♪"]
         miscellaneous = set("♩♪♫♬♭♮♯")
-        result = set()
-        for t in [" -", " '"]:
-            ids = self.bpe.encode(t)
-            if len(ids) == 1:
-                result.add(ids[0])
+        # OpenAI semantics exactly (tokenizer.py non_speech_tokens): the
+        # leading tokens of " -"/" '" are ALWAYS suppressed, and for the
+        # miscellaneous music symbols the first token is suppressed even
+        # when the symbol byte-encodes to multiple tokens — dropping them
+        # under-suppresses the sound-effect hallucination markers
+        result = {self.bpe.encode(" -")[0], self.bpe.encode(" '")[0]}
         for symbol in symbols + list(miscellaneous):
-            for tok in [symbol, " " + symbol]:
-                ids = self.bpe.encode(tok)
-                if len(ids) == 1:
+            for ids in [self.bpe.encode(symbol),
+                        self.bpe.encode(" " + symbol)]:
+                if len(ids) == 1 or symbol in miscellaneous:
                     result.add(ids[0])
         return sorted(result)
 
@@ -227,8 +244,13 @@ class WhisperTokenizer:
 
     def split_to_word_tokens(self, ids: Sequence[int]
                              ) -> List[Tuple[str, List[int]]]:
-        """Group text tokens into display words (space-delimited for latin
-        scripts; per-token for CJK where BPE pieces align to characters)."""
+        """Group text tokens into display words: space-delimited for
+        latin scripts, per-codepoint-boundary for languages without word
+        spaces (OpenAI split_tokens_on_unicode — the leading-space rule
+        never fires on CJK text and would return one giant 'word')."""
+        if (self.language or "").lower() in \
+                {"zh", "ja", "th", "lo", "my", "yue", "ko"}:
+            return self._split_tokens_on_unicode(ids)
         words: List[Tuple[str, List[int]]] = []
         current: List[int] = []
         for tid in ids:
@@ -239,6 +261,30 @@ class WhisperTokenizer:
                 words.append((self.bpe.decode(current), current))
                 current = []
             current.append(tid)
+        if current:
+            words.append((self.bpe.decode(current), current))
+        return words
+
+    def _split_tokens_on_unicode(self, ids: Sequence[int]
+                                 ) -> List[Tuple[str, List[int]]]:
+        """Emit a word at every point the accumulated byte-level tokens
+        decode to whole codepoints (no dangling UTF-8 prefix), per
+        OpenAI's split_tokens_on_unicode."""
+        ids = [int(i) for i in ids if i < self.special.eot]
+        decoded_full = self.bpe.decode(ids)
+        replacement = "�"
+        words: List[Tuple[str, List[int]]] = []
+        current: List[int] = []
+        offset = 0
+        for tid in ids:
+            current.append(tid)
+            decoded = self.bpe.decode(current)
+            pos = decoded.find(replacement)
+            if pos == -1 or (offset + pos < len(decoded_full)
+                             and decoded_full[offset + pos] == replacement):
+                words.append((decoded, current))
+                offset += len(decoded)
+                current = []
         if current:
             words.append((self.bpe.decode(current), current))
         return words

@@ -121,7 +121,7 @@ def test_decode_with_timestamps():
 def test_save_load_roundtrip(tmp_path):
     tok = make_test_tokenizer()
     tok.bpe.save(tmp_path)
-    loaded = WhisperTokenizer.from_dir(tmp_path)
+    loaded = WhisperTokenizer.from_dir(tmp_path, num_languages=100)
     text = "中文 mixed 123"
     assert loaded.decode(loaded.encode(text)) == text
     assert loaded.special.n_vocab == tok.special.n_vocab
@@ -216,3 +216,44 @@ def test_whisper_tokenizer_from_hf_style_dir(tmp_path):
     assert tok.special.eot == bpe.vocab["<|endoftext|>"]
     text = "会议 transcript 123"
     assert tok.decode(tok.encode(text)) == text
+
+
+def test_from_dir_requires_language_count_evidence(tmp_path):
+    """No meta, no added_tokens.json -> explicit error, not a silent
+    100-language default that shifts every special id for v2 dirs."""
+    import json
+    import pytest
+    tok = make_test_tokenizer()
+    tok.bpe.save(tmp_path)
+    with pytest.raises(ValueError, match="language count"):
+        WhisperTokenizer.from_dir(tmp_path)
+    (tmp_path / "added_tokens.json").write_text(
+        json.dumps({"<|endoftext|>": 1}))
+    assert WhisperTokenizer.from_dir(tmp_path).num_languages == 99
+    (tmp_path / "added_tokens.json").write_text(
+        json.dumps({"<|yue|>": 2}))
+    assert WhisperTokenizer.from_dir(tmp_path).num_languages == 100
+
+
+def test_split_to_word_tokens_cjk():
+    tok = make_test_tokenizer()
+    tok.language = "zh"
+    ids = tok.encode("\u4f60\u597d\u4e16\u754c")
+    words = tok.split_to_word_tokens(ids)
+    assert [w for w, _ in words] == ["\u4f60", "\u597d", "\u4e16", "\u754c"]
+    assert [i for _, grp in words for i in grp] == ids
+    tok.language = "en"
+    ids = tok.encode("hello world again")
+    words = tok.split_to_word_tokens(ids)
+    assert [w for w, _ in words] == ["hello", " world", " again"]
+
+
+def test_non_speech_tokens_cover_music_symbols():
+    """OpenAI adds the first token of multi-token music symbols; the
+    byte-level test tokenizer encodes them to 3 bytes each, so their
+    leading byte token must appear in the suppress list."""
+    tok = make_test_tokenizer()
+    sup = set(tok.non_speech_tokens())
+    for sym in "\u266a\u266b\u266f":
+        assert tok.encode(sym)[0] in sup
+    assert tok.encode(" -")[0] in sup and tok.encode(" '")[0] in sup

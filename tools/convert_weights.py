@@ -23,8 +23,10 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
 WANTED_FILES = (
-    "config.json", "model.safetensors", "pytorch_model.bin",
-    "vocab.json", "merges.txt", "tokenizer.json", "tokenizer_config.json",
+    "config.json", "model.safetensors", "model.safetensors.index.json",
+    "model-*.safetensors", "pytorch_model.bin",
+    "vocab.json", "merges.txt", "added_tokens.json", "tokenizer.json",
+    "tokenizer_config.json",
     "preprocessor_config.json", "generation_config.json",
 )
 
@@ -80,16 +82,29 @@ def main() -> int:
 
     copied = []
     for fname in WANTED_FILES:
+        if "*" in fname:          # sharded safetensors pieces
+            for src_file in sorted(src.glob(fname)):
+                shutil.copy2(src_file, dest / src_file.name)
+                copied.append(src_file.name)
+            continue
         src_file = src / fname
         if src_file.exists():
             shutil.copy2(src_file, dest / fname)
             copied.append(fname)
     if "config.json" not in copied:
         raise SystemExit(f"no config.json found under {src}")
-    if not ({"model.safetensors", "pytorch_model.bin"} & set(copied)):
+    if not ({"model.safetensors", "pytorch_model.bin"} & set(copied)) \
+            and not any(c.startswith("model-") for c in copied):
         raise SystemExit(f"no weight file found under {src}")
 
     cfg = json.loads((dest / "config.json").read_text())
+    # tokenizer_meta.json pins the special-token layout for from_dir:
+    # 51866-token models (large-v3 family) have 100 language tokens,
+    # 51865 have 99 — guessing shifts every special id by one
+    if cfg.get("vocab_size"):
+        (dest / "tokenizer_meta.json").write_text(json.dumps(
+            {"num_languages": 100 if cfg["vocab_size"] >= 51866 else 99}))
+        copied.append("tokenizer_meta.json")
     print(f"installed {name} -> {dest}")
     print(f"  files: {', '.join(copied)}")
     print(f"  model_type: {cfg.get('model_type')}")
