@@ -68,6 +68,7 @@ def decode_wav_bytes(data: bytes):
         raise ValueError("not a RIFF/WAVE file")
 
     fmt = None
+    fmt_body = b""
     raw = None
     pos = 12
     while pos + 8 <= len(data):
@@ -75,19 +76,30 @@ def decode_wav_bytes(data: bytes):
         (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8: pos + 8 + chunk_size]
         if chunk_id == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif chunk_id == b"data":
+            if chunk_size > len(data) - pos - 8:
+                raise ValueError(
+                    f"truncated data chunk: header declares {chunk_size} "
+                    f"bytes, {len(data) - pos - 8} remain — refusing to "
+                    "silently decode partial audio")
             raw = body
         pos += 8 + chunk_size + (chunk_size & 1)
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
 
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID
-        # first 2 bytes of the GUID (after cbSize+validBits+channelMask)
-        # locate at offset 16+2+4+2 = 24 in the fmt body
-        (audio_format,) = struct.unpack_from("<H", data, pos)  # fallback
-        audio_format = 1 if bits != 32 else 3
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first two
+        # bytes of the SubFormat GUID at offset 24 of the fmt body
+        # (16 base + cbSize 2 + validBits 2 + channelMask 4)
+        if len(fmt_body) >= 26:
+            (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+        else:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
 
     if audio_format == 1:  # PCM
         if bits == 16:
@@ -158,6 +170,17 @@ def load_audio(path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
     if not path.exists():
         raise FileNotFoundError(str(path))
 
+    def _resample(mono: np.ndarray, sr: int) -> np.ndarray:
+        if sr == sample_rate:
+            return mono.astype(np.float32)
+        # C++ polyphase first (same algorithm, no multi-hundred-MB numpy
+        # gather temporaries); numpy fallback when the lib isn't built
+        from .native import native_resample
+        out = native_resample(mono, sr, sample_rate)
+        if out is None:
+            out = resample_poly(mono, sr, sample_rate)
+        return out.astype(np.float32)
+
     if path.suffix.lower() == ".wav":
         try:
             from .native import native_decode_wav
@@ -168,24 +191,28 @@ def load_audio(path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
             samples, sr = decoded
         else:
             samples, sr = decode_wav_bytes(path.read_bytes())
-        mono = to_mono(samples)
-        if sr != sample_rate:
-            mono = resample_poly(mono, sr, sample_rate)
-        return mono.astype(np.float32)
+        return _resample(to_mono(samples), sr)
 
     if path.suffix.lower() == ".flac":
         # native C++ FLAC decoder (native/mwx_flac.cpp) — the one
         # compressed format owned end-to-end without ffmpeg
+        from .native import native_decode_flac
         try:
-            from .native import native_decode_flac
             decoded = native_decode_flac(path.read_bytes())
-        except ValueError:
-            decoded = None  # malformed stream: let ffmpeg try if present
+        except ValueError as exc:
+            if shutil.which("ffmpeg"):
+                decoded = None       # malformed stream: let ffmpeg try
+            else:
+                # with the native decoder present, 'install ffmpeg' is
+                # the wrong message — the file itself is bad
+                raise ValueError(
+                    f"cannot decode {path.name}: the FLAC stream is "
+                    f"malformed or unsupported ({exc}); re-export the "
+                    "file (FLAC 文件已损坏或无法解析，请重新导出后再上传)"
+                ) from exc
         if decoded is not None:
             mono, sr = decoded
-            if sr != sample_rate:
-                mono = resample_poly(mono, sr, sample_rate)
-            return mono.astype(np.float32)
+            return _resample(mono, sr)
 
     if shutil.which("ffmpeg"):
         return _ffmpeg_decode(str(path), sample_rate)

@@ -57,24 +57,31 @@ def resample_poly(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
     g = math.gcd(sr_in, sr_out)
     up, down = sr_out // g, sr_in // g
-    half_width = 24
     weights = _polyphase_filter(up, down)
+    half_width = weights.shape[1] // 2        # single source of truth
 
     n_out = int(math.ceil(audio.size * up / down))
-    j = np.arange(n_out, dtype=np.int64)
-    # Output j sits at input position j*down/up = base + phase/up.
-    pos_num = j * down
-    base = pos_num // up
-    phase = (pos_num % up).astype(np.int64)
-
     pad = half_width
     padded = np.pad(audio, (pad, pad + 1))
-    # Gather tap windows: taps cover input indices base-half_width+1+k.
     tap_offsets = np.arange(2 * half_width, dtype=np.int64) - half_width + 1
-    idx = base[:, None] + tap_offsets[None, :] + pad
-    frames = padded[idx]                      # [n_out, 2*half_width]
-    out = np.einsum("nk,nk->n", frames, weights[phase])
-    return out.astype(np.float32)
+
+    # Bounded-memory chunks: the gathered [n, 2*half_width] frame/weight
+    # temporaries cost ~800 bytes per output sample — materialized all at
+    # once, an hour of 44.1 kHz audio would need tens of GB
+    out = np.empty(n_out, np.float32)
+    chunk = 1 << 18   # ~200 MB of temporaries per chunk, independent of n
+    for lo in range(0, n_out, chunk):
+        j = np.arange(lo, min(lo + chunk, n_out), dtype=np.int64)
+        # Output j sits at input position j*down/up = base + phase/up.
+        pos_num = j * down
+        base = pos_num // up
+        phase = (pos_num % up).astype(np.int64)
+        # Gather tap windows: taps cover input indices base-half_width+1+k
+        idx = base[:, None] + tap_offsets[None, :] + pad
+        frames = padded[idx]                  # [n, 2*half_width]
+        out[lo: lo + len(j)] = np.einsum("nk,nk->n", frames,
+                                         weights[phase])
+    return out
 
 
 def to_mono(audio: np.ndarray) -> np.ndarray:

@@ -123,6 +123,19 @@ def main(argv=None) -> int:
         print(f"❌ 文件不存在: {audio_file}")
         return 1
 
+    # fail on undecodable containers BEFORE the expensive model load
+    # (the reference's default input is .m4a, transcribe.py:239 — on an
+    # ffmpeg-less host that must be an actionable message, not a stack
+    # trace after minutes of weight loading).  With ffmpeg present any
+    # container it can decode is accepted, like the reference.
+    import shutil as _shutil
+    from .audio.io import UnsupportedFormatError, decodable_suffixes
+    suffix = Path(audio_file).suffix.lower()
+    if suffix and not _shutil.which("ffmpeg") \
+            and suffix not in decodable_suffixes():
+        print(f"❌ {UnsupportedFormatError(suffix).zh}")
+        return 1
+
     model_size = config.get_env("WHISPER_MODEL", "large-v3")
     output_file = Path(audio_file).stem + "_transcript.md"
     result, audio_duration = transcribe_audio(

@@ -71,7 +71,10 @@ def format_transcript(result: dict, audio_file: str, output_file: str,
                                     device)
     Path(output_file).write_text(md, encoding="utf-8")
 
-    json_file = str(output_file).replace(".md", ".json")
+    # with_suffix, not str.replace: '.md' can occur anywhere in the path
+    # (v1.mdx_rec_transcript.md, /notes.md/x.md), and a non-.md output
+    # name must not make the JSON overwrite the Markdown
+    json_file = str(Path(output_file).with_suffix(".json"))
     with open(json_file, "w", encoding="utf-8") as f:
         json.dump(result, f, ensure_ascii=False, indent=2)
 

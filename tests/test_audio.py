@@ -84,3 +84,43 @@ def test_native_matches_numpy(tmp_path):
 def test_load_audio_missing_file():
     with pytest.raises(FileNotFoundError):
         load_audio("/nonexistent/file.wav")
+
+
+def _extensible_wav(sr=16000, n=1600):
+    """Spec-conformant WAVE_FORMAT_EXTENSIBLE 16-bit PCM mono blob."""
+    import struct
+    x = (0.25 * np.sin(2 * np.pi * 440 * np.arange(n) / sr))
+    pcm = (x * 32767).astype("<i2").tobytes()
+    sub_guid = struct.pack("<H", 1) + bytes(14)   # PCM subformat
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 2, 2, 16)
+    fmt += struct.pack("<HHI", 22, 16, 0x4) + sub_guid
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(fmt) - 16 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm, x
+
+
+def test_decode_extensible_wav():
+    """Audacity/Windows recorders emit WAVE_FORMAT_EXTENSIBLE; the real
+    format tag lives in the SubFormat GUID of the fmt body (a past
+    version read past EOF and crashed on every such file)."""
+    blob, x = _extensible_wav()
+    samples, sr = decode_wav_bytes(blob)
+    assert sr == 16000
+    assert np.abs(np.squeeze(samples) - x).max() < 2e-4
+
+
+def test_decode_truncated_data_chunk_raises():
+    blob, _ = _extensible_wav()
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_bytes(blob[:-100])
+
+
+def test_json_twin_path_uses_suffix(tmp_path):
+    from manual_whisper_tpu.text.formatting import format_transcript
+    out = tmp_path / "v1.mdx_rec_transcript.md"
+    result = {"segments": [{"text": "hi", "start": 0.0, "end": 1.0}]}
+    json_file = format_transcript(result, "v1.mdx_rec.m4a", str(out),
+                                  1.0, 1.0, quiet=True)
+    assert json_file == str(tmp_path / "v1.mdx_rec_transcript.json")
+    assert out.exists() and (tmp_path / "v1.mdx_rec_transcript.json").exists()
