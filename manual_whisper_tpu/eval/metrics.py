@@ -35,12 +35,14 @@ def _edit_distance(ref: Sequence, hyp: Sequence) -> int:
     return prev[m]
 
 
-_WORD_RE = re.compile(r"[\w']+", re.UNICODE)
-_PUNct_RE = re.compile(r"[^\w\s一-鿿]", re.UNICODE)
+_PUNCT_RE = re.compile(r"[^\w\s'一-鿿]", re.UNICODE)
 
 
 def _normalize(text: str) -> str:
-    return _PUNct_RE.sub(" ", (text or "").lower()).strip()
+    """Lowercase, strip punctuation; keep intra-word apostrophes so
+    contractions stay one token ("don't" must not count as two words)."""
+    t = _PUNCT_RE.sub(" ", (text or "").lower())
+    return " ".join(w.strip("'") for w in t.split() if w.strip("'"))
 
 
 def wer(reference: str, hypothesis: str) -> float:
@@ -153,21 +155,29 @@ def der(reference: Sequence[dict], hypothesis: Sequence[dict],
     pairs = _hungarian(-overlap.astype(np.float64))
     mapping: Dict[int, int] = {h: r for r, h in pairs}
 
-    ref_any = ref_act.any(0) & score_mask
-    hyp_any = hyp_act.any(0) & score_mask
-    miss = float((ref_any & ~hyp_any).sum())
-    fa = float((~ref_any & hyp_any).sum())
+    # NIST speaker-counted scoring: per frame, errors count SPEAKERS, not
+    # a binarized any-speech flag — otherwise overlapping speech (the v2
+    # corpus's overlap_prob conditions) is invisible: a diarizer that
+    # never predicts overlap would score DER 0 while missing the second
+    # speaker on every overlapped frame.
+    n_ref = ref_act.sum(0).astype(np.int64)
+    n_hyp = hyp_act.sum(0).astype(np.int64)
+    n_ref[~score_mask] = 0
+    n_hyp[~score_mask] = 0
 
-    confusion = 0.0
-    both = ref_any & hyp_any
-    for f in np.nonzero(both)[0]:
-        ref_here = {i for i in range(len(ref_spk)) if ref_act[i, f]}
-        hyp_here = {mapping.get(j, -1) for j in range(len(hyp_spk))
-                    if hyp_act[j, f]}
-        if not (ref_here & hyp_here):
-            confusion += 1.0
+    # per-frame count of reference speakers matched by their mapped
+    # hypothesis speaker being active
+    mapped_match = np.zeros(n, np.int64)
+    for j, r in mapping.items():
+        if 0 <= r < len(ref_spk):
+            mapped_match += (ref_act[r] & hyp_act[j]) & score_mask
 
-    total_ref = float(ref_any.sum())
+    miss = float(np.maximum(n_ref - n_hyp, 0).sum())
+    fa = float(np.maximum(n_hyp - n_ref, 0).sum())
+    confusion = float((np.minimum(n_ref, n_hyp) - mapped_match
+                       ).clip(min=0).sum())
+
+    total_ref = float(n_ref.sum())
     if total_ref == 0:
         return 0.0 if fa == 0 else 1.0
     return (miss + fa + confusion) / total_ref

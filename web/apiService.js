@@ -65,14 +65,27 @@ export async function createTranscription(fileUrl, sourceFilename, language) {
 export async function pollTranscriptionStatus(id, onUpdate) {
     const deadline = Date.now() + POLL_TIMEOUT_MS;
     let interval = POLL_INITIAL_MS;
+    let consecutiveFailures = 0;
 
     while (Date.now() < deadline) {
-        const resp = await fetch(
-            `${BASE_URL}/api/transcribe?id=${encodeURIComponent(id)}`,
-            { headers: appKeyHeaders() });
-        const payload = await resp.json().catch(() => ({}));
-        if (!resp.ok) {
-            throw new Error(payload?.error || `Poll failed (HTTP ${resp.status})`);
+        let payload;
+        try {
+            const resp = await fetch(
+                `${BASE_URL}/api/transcribe?id=${encodeURIComponent(id)}`,
+                { headers: appKeyHeaders() });
+            payload = await resp.json().catch(() => ({}));
+            if (!resp.ok) {
+                throw new Error(
+                    payload?.error || `Poll failed (HTTP ${resp.status})`);
+            }
+            consecutiveFailures = 0;
+        } catch (err) {
+            // one dropped packet / transient 502 20 minutes into a job
+            // must not orphan the whole task — tolerate a few in a row
+            consecutiveFailures += 1;
+            if (consecutiveFailures >= 4) throw err;
+            await sleep(interval);
+            continue;
         }
         if (onUpdate) onUpdate(payload);
         if (payload.status === "succeeded") return payload;

@@ -21,11 +21,22 @@ export class AudioRecorder {
             audio: { channelCount: 1, sampleRate: 16000,
                      echoCancellation: true, noiseSuppression: true },
         });
-        this.context = new (window.AudioContext || window.webkitAudioContext)(
-            { sampleRate: 16000 });
-        this.sampleRate = this.context.sampleRate;
-        this.source = this.context.createMediaStreamSource(this.stream);
-        this.processor = this.context.createScriptProcessor(4096, 1, 1);
+        try {
+            this.context = new (window.AudioContext
+                || window.webkitAudioContext)({ sampleRate: 16000 });
+            this.sampleRate = this.context.sampleRate;
+            this.source = this.context.createMediaStreamSource(this.stream);
+            this.processor = this.context.createScriptProcessor(4096, 1, 1);
+        } catch (err) {
+            // release the mic if any post-permission step fails (e.g.
+            // AudioContext({sampleRate}) unsupported) — otherwise the
+            // mic-in-use indicator stays on until the tab closes
+            this.stream.getTracks().forEach((t) => t.stop());
+            this.stream = null;
+            if (this.context) await this.context.close().catch(() => {});
+            this.context = null;
+            throw err;
+        }
         this.buffers = [];
         this.recording = true;
 

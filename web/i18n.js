@@ -18,6 +18,7 @@ const STRINGS = {
         start: "开始转写",
         record_start: "开始录音",
         record_stop: "停止录音",
+        record_autostop: "录音已达 50 分钟上限，已自动停止（上传上限 100MB）",
         recording: "录音中…",
         record_stop_confirm: "确定要停止录音吗？",
         remove_file: "移除",
@@ -62,6 +63,7 @@ const STRINGS = {
         start: "Transcribe",
         record_start: "Start recording",
         record_stop: "Stop recording",
+        record_autostop: "Recording auto-stopped at the 50 min limit (100MB upload cap)",
         recording: "Recording…",
         record_stop_confirm: "Stop this recording?",
         remove_file: "Remove",

@@ -120,6 +120,9 @@ function closeConfirm() {
 
 function removeSelectedFile() {
     state.file = null;
+    players.preview.clear();   // stop playback + free the blob URL —
+                               // hiding the row alone leaves invisible
+                               // audio playing with no way to stop it
     $("preview-row").hidden = true;
     $("start-btn").disabled = true;
     renderFileInfo();
@@ -199,6 +202,8 @@ async function toggleRecording() {
         selectFile(file);
         return;
     }
+    if (state.recorderStarting) return;   // click while permission prompt
+    state.recorderStarting = true;        // is up must not start a 2nd mic
     try {
         const recorder = new AudioRecorder({
             onLevel: (rms) => {
@@ -212,9 +217,19 @@ async function toggleRecording() {
         btn.classList.add("recording");
         state.recordTimer = setInterval(() => {
             $("record-time").textContent = formatTime(recorder.durationSec);
+            // a 16 kHz/16-bit WAV passes 100 MB (the upload cap) at
+            // ~52 min; auto-stop before the recording becomes
+            // unuploadable and the audio is lost
+            if (recorder.durationSec >= 50 * 60 && state.recorder) {
+                toggleRecording();
+                showError(t("record_autostop") ||
+                    "录音已达 50 分钟上限，已自动停止（上传上限 100MB）");
+            }
         }, 250);
     } catch (err) {
         showError(`${err.message || err}`);
+    } finally {
+        state.recorderStarting = false;
     }
 }
 
@@ -399,7 +414,25 @@ function downloadResult(kind) {
 
 async function copyTranscript() {
     if (!state.result?.markdown) return;
-    await navigator.clipboard.writeText(state.result.markdown);
+    try {
+        if (navigator.clipboard?.writeText) {
+            await navigator.clipboard.writeText(state.result.markdown);
+        } else {
+            // plain-http deployments (TPU host over http://host:8000):
+            // navigator.clipboard exists only in secure contexts
+            const ta = document.createElement("textarea");
+            ta.value = state.result.markdown;
+            ta.style.position = "fixed";
+            ta.style.opacity = "0";
+            document.body.appendChild(ta);
+            ta.select();
+            document.execCommand("copy");
+            ta.remove();
+        }
+    } catch (err) {
+        showError(`${err.message || err}`);
+        return;
+    }
     const btn = $("copy-btn");
     const original = btn.textContent;
     btn.textContent = t("copied");

@@ -120,6 +120,14 @@ export function attachPlayer(ids) {
             downloadName = name || "audio";
             reset();
         },
+        clear() {
+            el.audio.pause();
+            if (el.audio.src && el.audio.src.startsWith("blob:")) {
+                URL.revokeObjectURL(el.audio.src);
+            }
+            el.audio.removeAttribute("src");
+            reset();
+        },
         reset,
     };
 }
