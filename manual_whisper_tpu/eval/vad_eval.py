@@ -25,18 +25,16 @@ import numpy as np
 Region = Tuple[float, float]
 
 
-def _boundaries(regions: Sequence[Region]) -> List[float]:
-    out: List[float] = []
-    for s, e in regions:
-        out.extend((float(s), float(e)))
-    return out
+def _boundaries(regions: Sequence[Region], kind: str) -> List[float]:
+    """Onsets ("start") or offsets ("end") of the regions — matched
+    separately: an onset matching an offset is not agreement (pred
+    [(0,1)] vs ref [(1,2)] share zero speech frames yet share the
+    timestamp 1.0)."""
+    idx = 0 if kind == "start" else 1
+    return sorted(float(r[idx]) for r in regions)
 
 
-def boundary_f1(pred: Sequence[Region], ref: Sequence[Region],
-                tolerance: float = 0.2) -> Dict[str, float]:
-    """Greedy one-to-one boundary matching within ``tolerance`` seconds."""
-    p = sorted(_boundaries(pred))
-    r = sorted(_boundaries(ref))
+def _greedy_match(p: List[float], r: List[float], tolerance: float) -> int:
     matched = 0
     used = [False] * len(r)
     for t in p:
@@ -50,13 +48,25 @@ def boundary_f1(pred: Sequence[Region], ref: Sequence[Region],
         if best >= 0:
             used[best] = True
             matched += 1
-    precision = matched / len(p) if p else (1.0 if not r else 0.0)
-    recall = matched / len(r) if r else (1.0 if not p else 0.0)
+    return matched
+
+
+def boundary_f1(pred: Sequence[Region], ref: Sequence[Region],
+                tolerance: float = 0.2) -> Dict[str, float]:
+    """Greedy one-to-one boundary matching within ``tolerance`` seconds;
+    onsets match onsets and offsets match offsets."""
+    n_p = 2 * len(pred)
+    n_r = 2 * len(ref)
+    matched = sum(
+        _greedy_match(_boundaries(pred, k), _boundaries(ref, k), tolerance)
+        for k in ("start", "end"))
+    precision = matched / n_p if n_p else (1.0 if not n_r else 0.0)
+    recall = matched / n_r if n_r else (1.0 if not n_p else 0.0)
     f1 = (2 * precision * recall / (precision + recall)
           if precision + recall else 0.0)
     return {"precision": precision, "recall": recall, "f1": f1,
-            "matched": matched, "pred_boundaries": len(p),
-            "ref_boundaries": len(r)}
+            "matched": matched, "pred_boundaries": n_p,
+            "ref_boundaries": n_r}
 
 
 def region_overlap_stats(pred: Sequence[Region], ref: Sequence[Region],
@@ -85,21 +95,22 @@ def timestamp_deltas(pred: Sequence[Region], ref: Sequence[Region],
                      max_match: float = 1.0) -> Dict[str, float]:
     """Per-boundary |delta| stats for boundaries matched within
     ``max_match`` seconds (how far downstream timestamps move)."""
-    p = sorted(_boundaries(pred))
-    r = sorted(_boundaries(ref))
     deltas = []
-    used = [False] * len(r)
-    for t in p:
-        best, best_d = -1, max_match
-        for i, u in enumerate(r):
-            if used[i]:
-                continue
-            d = abs(t - u)
-            if d <= best_d:
-                best, best_d = i, d
-        if best >= 0:
-            used[best] = True
-            deltas.append(best_d)
+    for kind in ("start", "end"):   # onsets vs onsets, offsets vs offsets
+        p = _boundaries(pred, kind)
+        r = _boundaries(ref, kind)
+        used = [False] * len(r)
+        for t in p:
+            best, best_d = -1, max_match
+            for i, u in enumerate(r):
+                if used[i]:
+                    continue
+                d = abs(t - u)
+                if d <= best_d:
+                    best, best_d = i, d
+            if best >= 0:
+                used[best] = True
+                deltas.append(best_d)
     if not deltas:
         return {"mean_abs_delta": float("nan"),
                 "max_abs_delta": float("nan"), "n_matched": 0}

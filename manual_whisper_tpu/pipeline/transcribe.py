@@ -57,15 +57,6 @@ def _encode_windows_jit(params, audio_i16, cfg, n_mels, use_flash,
     return encode(params, mel, cfg, use_flash=use_flash)
 
 
-@dataclasses.dataclass
-class TranscribeResult:
-    segments: List[dict]
-    language: str
-
-    def as_dict(self) -> dict:
-        return {"segments": self.segments, "language": self.language}
-
-
 class TranscribePipeline:
     """Loaded model + tokenizer + VAD, ready to transcribe."""
 
@@ -95,7 +86,6 @@ class TranscribePipeline:
             # the host re-ships the full weight tree on EVERY dispatch
             # (measured: ~60 ms per 64 MB per call — gigabytes per batch
             # at large-v3 over a remote-tunnel backend).
-            import jax
             params = jax.tree.map(jnp.asarray, params)
         self.params = params
         self.cfg = cfg
@@ -132,6 +122,15 @@ class TranscribePipeline:
             initial_prompt = self.asr_options.get("initial_prompt")
         key = (language, temps, initial_prompt)
         with self._decoder_lock:
+            if key in self._decoders:
+                # LRU: per-request initial_prompt/temperature overrides
+                # (second pass, per-customer prompts) must not grow the
+                # decoder cache — and its compiled programs — unboundedly
+                # over a server's lifetime
+                self._decoders[key] = self._decoders.pop(key)
+            else:
+                while len(self._decoders) >= 8:
+                    self._decoders.pop(next(iter(self._decoders)))
             if key not in self._decoders:
                 # forward EVERY DecodingOptions field present in
                 # asr_options (suppress_blank, thresholds, ... — the
@@ -321,9 +320,57 @@ class TranscribePipeline:
         # batch i's host fetch/post-processing (the per-dispatch
         # round-trip dominates on a remote chip).  Fallback retries are
         # rare and stay synchronous.
-        batches: List[tuple] = []     # (windows, group) in dispatch order
-        encoded: List = []
-        submitted: List = []
+        #
+        # In-flight batches are BOUNDED: each pending batch pins its
+        # encoder output on the device (~61 MB at large-v3 batch 16) and
+        # its windows array on the host; dispatching a many-hour
+        # recording in full before finalizing anything would exhaust HBM.
+        # A window of MAX_INFLIGHT keeps the dispatch/fetch overlap with
+        # O(window) memory.
+        MAX_INFLIGHT = int(config.get_int("MWX_MAX_INFLIGHT_BATCHES", 8))
+        pending: List[tuple] = []     # (windows, group, xa, handle)
+        segments: List[dict] = []
+        duration = len(audio) / 16000.0
+        n_done = 0
+        t0 = time.time()
+
+        def finalize_one() -> None:
+            nonlocal n_done
+            windows, group, xa, handle = pending.pop(0)
+            if use_ts:
+                # timestamp-token mode: sub-chunk segments from the
+                # decoded timestamp pairs (no alignment checkpoint needed)
+                starts = [ch.start for ch in group]
+                durs = [ch.duration for ch in group]
+                pad = len(windows) - len(group)
+                starts += [0.0] * pad
+                durs += [0.0] * pad
+                for ch, row in zip(group, decoder.timestamps_finalize(
+                        handle, starts, durs)):
+                    segments.extend(row)
+            else:
+                results = decoder.decode_with_fallback(
+                    xa, first=handle, n_valid=len(group))
+                for ch, res in zip(group, results):
+                    if decoder.is_no_speech(res):
+                        continue
+                    text = res.text
+                    if not text:
+                        continue
+                    segments.append({
+                        "text": text,
+                        "start": round(ch.start, 3),
+                        "end": round(ch.end, 3),
+                        "avg_logprob": res.avg_logprob,
+                        "no_speech_prob": res.no_speech_prob,
+                        "compression_ratio": res.compression_ratio,
+                        "temperature": res.temperature,
+                    })
+            n_done += 1
+            pct = 5.0 + 90.0 * min(group[-1].end / max(duration, 1e-9),
+                                   1.0)
+            report(pct, f"transcribed batch {n_done} "
+                        f"({time.time() - t0:.1f}s)")
 
         def dispatch(group: List[SpeechChunk]) -> None:
             ensure_decoder()
@@ -332,13 +379,14 @@ class TranscribePipeline:
                     window_samples=self.window_samples,
                     divisor=self.data_parallel):
                 xa = self._encode_windows(windows)
-                batches.append((windows, grp))
-                encoded.append(xa)
-                submitted.append(decoder.timestamps_submit(xa) if use_ts
-                                 else decoder.decode_submit(xa, first_temp))
+                pending.append((
+                    windows, grp, xa,
+                    decoder.timestamps_submit(xa) if use_ts
+                    else decoder.decode_submit(xa, first_temp)))
+                while len(pending) > MAX_INFLIGHT:
+                    finalize_one()
 
         opts = vad_options or self.vad_options
-        duration = len(audio) / 16000.0
         queue: List[SpeechChunk] = []
         emitted = 0
         for probs, frame_dur, is_last in self.vad.iter_speech_probs(audio):
@@ -361,50 +409,14 @@ class TranscribePipeline:
         if queue:
             dispatch(queue)
 
-        if not batches:
+        if not pending and n_done == 0:
             report(100.0, "no speech detected")
             return {"segments": [], "language": lang or "zh"}
 
-        segments: List[dict] = []
-        t0 = time.time()
-        for bi, (windows, group) in enumerate(batches):
-            xa = encoded[bi]
-            if use_ts:
-                # timestamp-token mode: sub-chunk segments from the decoded
-                # timestamp pairs (no alignment checkpoint needed)
-                starts = [ch.start for ch in group]
-                durs = [ch.duration for ch in group]
-                pad = len(windows) - len(group)
-                starts += [0.0] * pad
-                durs += [0.0] * pad
-                per_row = decoder.timestamps_finalize(
-                    submitted[bi], starts, durs)
-                for ch, row in zip(group, per_row):
-                    segments.extend(row)
-                pct = 5.0 + 95.0 * (bi + 1) / len(batches)
-                report(pct, f"transcribed batch {bi + 1}/{len(batches)} "
-                            f"({time.time() - t0:.1f}s)")
-                continue
-            results = decoder.decode_with_fallback(xa, first=submitted[bi],
-                                                   n_valid=len(group))
-            for ch, res in zip(group, results):
-                if decoder.is_no_speech(res):
-                    continue
-                text = res.text
-                if not text:
-                    continue
-                segments.append({
-                    "text": text,
-                    "start": round(ch.start, 3),
-                    "end": round(ch.end, 3),
-                    "avg_logprob": res.avg_logprob,
-                    "no_speech_prob": res.no_speech_prob,
-                    "compression_ratio": res.compression_ratio,
-                    "temperature": res.temperature,
-                })
-            pct = 5.0 + 95.0 * (bi + 1) / len(batches)
-            report(pct, f"transcribed batch {bi + 1}/{len(batches)} "
-                        f"({time.time() - t0:.1f}s)")
+        while pending:
+            finalize_one()
+        report(100.0, f"transcribed {n_done} batches "
+                      f"({time.time() - t0:.1f}s)")
         return {"segments": segments, "language": lang}
 
 
@@ -464,9 +476,14 @@ def load_model(name: str = "large-v3",
     visible accelerators when there is more than one (see _auto_mesh);
     pass an explicit jax.sharding.Mesh or None to override.
     """
-    dtype = {"int8": jnp.bfloat16, "float16": jnp.bfloat16,
-             "bfloat16": jnp.bfloat16, "float32": jnp.float32,
-             }.get(compute_type, jnp.bfloat16)
+    dtypes = {"int8": jnp.bfloat16, "float16": jnp.bfloat16,
+              "bfloat16": jnp.bfloat16, "float32": jnp.float32}
+    if compute_type not in dtypes:
+        # a typo ('fp32', 'int_8') must not silently run bf16 at 4x the
+        # expected weight memory and a different speed
+        raise KeyError(f"unknown compute_type {compute_type!r}; options: "
+                       f"{sorted(dtypes)}")
+    dtype = dtypes[compute_type]
 
     weights_dir = _find_weights_dir(name)
     if weights_dir is not None:
