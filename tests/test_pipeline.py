@@ -223,3 +223,27 @@ def test_asr_options_forward_every_decoding_field(tiny_pipeline):
     assert dec.opts.max_new_tokens == 12
     assert dec.opts.log_prob_threshold is None
     assert dec.opts.beam_size == 2
+
+
+def test_bounded_inflight_matches_unbounded(monkeypatch):
+    """MWX_MAX_INFLIGHT_BATCHES=1 (finalize each batch before dispatching
+    the next) must produce exactly the segments of the default window —
+    the bound only limits memory, never changes results or order."""
+    from manual_whisper_tpu import config as mwx_config
+    model = load_model("test", language="zh")
+    audio = _speech_audio(20.0)
+    # greedy only: ladder retries draw fresh per-dispatch sampling keys
+    # (by design), which differ with dispatch interleaving
+    ref = model.transcribe(audio, batch_size=2, language="zh",
+                           temperature=(0.0,))
+    monkeypatch.setenv("MWX_MAX_INFLIGHT_BATCHES", "1")
+    mwx_config.clear_env_cache()
+    try:
+        got = model.transcribe(audio, batch_size=2, language="zh",
+                               temperature=(0.0,))
+    finally:
+        monkeypatch.delenv("MWX_MAX_INFLIGHT_BATCHES")
+        mwx_config.clear_env_cache()
+    assert got == ref
+    starts = [s["start"] for s in got["segments"]]
+    assert starts == sorted(starts)
