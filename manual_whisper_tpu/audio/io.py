@@ -190,7 +190,15 @@ def load_audio(path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
         if decoded is not None:
             samples, sr = decoded
         else:
-            samples, sr = decode_wav_bytes(path.read_bytes())
+            try:
+                samples, sr = decode_wav_bytes(path.read_bytes())
+            except ValueError:
+                # malformed/truncated RIFF: ffmpeg decodes more liberal
+                # variants (streaming writers leave size fields 0 or
+                # 0xFFFFFFFF) — same fallback shape as the FLAC branch
+                if shutil.which("ffmpeg"):
+                    return _ffmpeg_decode(str(path), sample_rate)
+                raise
         return _resample(to_mono(samples), sr)
 
     if path.suffix.lower() == ".flac":

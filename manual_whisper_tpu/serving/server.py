@@ -85,19 +85,32 @@ class AppState:
         self.web_dir = Path(web_dir) if web_dir else None
         self.uploads: dict = {}
         self.upload_times: dict = {}
+        # handler threads insert while prune iterates — both under this
+        self.uploads_lock = threading.Lock()
         self.second_pass_lock = threading.Lock()
         self.second_pass_running: set = set()
+
+    def register_upload(self, file_id: str, path: str) -> None:
+        with self.uploads_lock:
+            self.uploads[file_id] = path
+            self.upload_times[file_id] = time.time()
+
+    def upload_path(self, file_id: str) -> Optional[str]:
+        with self.uploads_lock:
+            return self.uploads.get(file_id)
 
     def prune_uploads(self, ttl_sec: float = 24 * 3600.0) -> None:
         """Drop upload files + map entries older than the job TTL —
         without this every upload leaks ~100 MB of disk and a dict entry
         forever (job metadata already gets the same 24 h prune)."""
         now = time.time()
-        dead = [fid for fid, ts in self.upload_times.items()
-                if now - ts > ttl_sec]
-        for fid in dead:
-            path = self.uploads.pop(fid, None)
-            self.upload_times.pop(fid, None)
+        with self.uploads_lock:
+            dead = [fid for fid, ts in self.upload_times.items()
+                    if now - ts > ttl_sec]
+            paths = [self.uploads.pop(fid, None) for fid in dead]
+            for fid in dead:
+                self.upload_times.pop(fid, None)
+        for path in paths:
             if path:
                 Path(path).unlink(missing_ok=True)
 
@@ -273,8 +286,7 @@ class Handler(BaseHTTPRequestHandler):
         except OSError as exc:
             status, message = map_upload_error(500, str(exc))
             return self._json(status, {"error": message})
-        self.state.uploads[file_id] = str(dest)
-        self.state.upload_times[file_id] = time.time()
+        self.state.register_upload(file_id, str(dest))
         self.state.prune_uploads()
 
         host = self.headers.get("host", "127.0.0.1")
@@ -288,8 +300,10 @@ class Handler(BaseHTTPRequestHandler):
         transcribe.js:131); they are gated behind an explicit trusted-mode
         flag for loopback CLI/test use."""
         m = re.search(r"/api/files/([0-9a-f]{32})", file_url or "")
-        if m and m.group(1) in self.state.uploads:
-            return self.state.uploads[m.group(1)]
+        if m:
+            path = self.state.upload_path(m.group(1))
+            if path is not None:
+                return path
         if (file_url and file_url.startswith("file://")
                 and config.get_bool("MWX_ALLOW_LOCAL_FILE_URLS", False)):
             p = file_url[len("file://"):]

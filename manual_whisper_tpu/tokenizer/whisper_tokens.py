@@ -248,8 +248,10 @@ class WhisperTokenizer:
         latin scripts, per-codepoint-boundary for languages without word
         spaces (OpenAI split_tokens_on_unicode — the leading-space rule
         never fires on CJK text and would return one giant 'word')."""
+        # OpenAI's unicode-split set exactly (ko is space-delimited and
+        # splits on spaces like latin scripts)
         if (self.language or "").lower() in \
-                {"zh", "ja", "th", "lo", "my", "yue", "ko"}:
+                {"zh", "ja", "th", "lo", "my", "yue"}:
             return self._split_tokens_on_unicode(ids)
         words: List[Tuple[str, List[int]]] = []
         current: List[int] = []

@@ -190,9 +190,12 @@ function renderFileInfo() {
 async function toggleRecording() {
     const btn = $("record-btn");
     if (state.recorder) {
-        const blob = await state.recorder.stop();
-        clearInterval(state.recordTimer);
+        // detach state BEFORE awaiting stop(): the level timer (and a
+        // second click) must not re-enter and double-stop the recorder
+        const recorder = state.recorder;
         state.recorder = null;
+        clearInterval(state.recordTimer);
+        const blob = await recorder.stop();
         btn.textContent = t("record_start");
         btn.classList.remove("recording");
         const stamp = new Date().toISOString().slice(0, 16)
@@ -220,10 +223,11 @@ async function toggleRecording() {
             // a 16 kHz/16-bit WAV passes 100 MB (the upload cap) at
             // ~52 min; auto-stop before the recording becomes
             // unuploadable and the audio is lost
-            if (recorder.durationSec >= 50 * 60 && state.recorder) {
-                toggleRecording();
-                showError(t("record_autostop") ||
-                    "录音已达 50 分钟上限，已自动停止（上传上限 100MB）");
+            if (recorder.durationSec >= 50 * 60
+                    && state.recorder === recorder) {
+                toggleRecording();   // detaches state.recorder first —
+                                     // later ticks can't re-enter
+                showError(t("record_autostop"));
             }
         }, 250);
     } catch (err) {
