@@ -247,3 +247,14 @@ def test_bounded_inflight_matches_unbounded(monkeypatch):
     assert got == ref
     starts = [s["start"] for s in got["segments"]]
     assert starts == sorted(starts)
+
+
+def test_decoder_cache_is_lru_bounded(tiny_pipeline):
+    """Per-request prompt overrides must not grow the decoder cache (and
+    its compiled programs) unboundedly over a server's lifetime."""
+    for i in range(12):
+        tiny_pipeline._decoder("zh", (0.0,), initial_prompt=f"p{i}")
+    assert len(tiny_pipeline._decoders) <= 8
+    # most-recent keys survive
+    keys = list(tiny_pipeline._decoders)
+    assert ("zh", (0.0,), "p11") in keys and ("zh", (0.0,), "p0") not in keys

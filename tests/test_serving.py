@@ -691,3 +691,23 @@ def test_finished_job_releases_active_slot_without_poll(server, tmp_path):
     status, _ = _req("POST", f"{base}/api/transcribe",
                      data=json.dumps({"fileUrl": file_url}).encode())
     assert status in (200, 201)   # created, not 429
+
+
+def test_success_poll_processed_once(server, tmp_path, monkeypatch):
+    """Post-processing runs once per job; later polls serve the cached
+    terminal response (VERDICT r2 weak #6)."""
+    import manual_whisper_tpu.serving.server as server_mod
+    srv, backend, base = server
+    file_url = _upload_wav(base, tmp_path)
+    _, created = _req("POST", f"{base}/api/transcribe",
+                      data=json.dumps({"fileUrl": file_url}).encode())
+    out1 = _poll_until_done(base, created["id"])
+    calls = []
+    real = server_mod.post_process_segments
+    monkeypatch.setattr(server_mod, "post_process_segments",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    status, out2 = _req("GET",
+                        f"{base}/api/transcribe?id={created['id']}")
+    assert status == 200 and out2["status"] == "succeeded"
+    assert calls == []          # dict lookup, no recompute
+    assert out2["output"]["markdown"] == out1["output"]["markdown"]
