@@ -233,8 +233,10 @@ def word_timing_scores(reference: Sequence[Tuple[str, float, float]],
     hyp_w = [str(h.get("word", "")).strip() for h in hypothesis]
     pairs = _align_word_sequences(ref_w, hyp_w)
     if not pairs:
-        return {"matched": 0, "mae_start": float("inf"),
-                "mae_end": float("inf"), "precision": 0.0, "recall": 0.0,
+        # None, not inf: json.dumps(inf) emits non-standard 'Infinity'
+        # that strict parsers/jq reject in EVAL artifacts
+        return {"matched": 0, "mae_start": None,
+                "mae_end": None, "precision": 0.0, "recall": 0.0,
                 "f1": 0.0}
     d_start, d_end, hits = [], [], 0
     for ri, hi in pairs:

@@ -205,15 +205,27 @@ class WhisperTokenizer:
                     "(\"", "((", "))", "(((", ")))", "[[", "]]", "{{", "}}",
                     "♪♪", "♪♪♪"]
         miscellaneous = set("♩♪♫♬♭♮♯")
-        # OpenAI semantics exactly (tokenizer.py non_speech_tokens): the
-        # leading tokens of " -"/" '" are ALWAYS suppressed, and for the
-        # miscellaneous music symbols the first token is suppressed even
-        # when the symbol byte-encodes to multiple tokens — dropping them
-        # under-suppresses the sound-effect hallucination markers
-        result = {self.bpe.encode(" -")[0], self.bpe.encode(" '")[0]}
+        # OpenAI semantics (tokenizer.py non_speech_tokens): the leading
+        # tokens of " -"/" '" are suppressed, and for the miscellaneous
+        # music symbols the first token is suppressed even when the
+        # symbol byte-encodes to multiple tokens — dropping them
+        # under-suppresses the sound-effect hallucination markers.
+        # Byte-fallback guard: on BPE vocabs " -" is ONE token, but a
+        # byte-level tokenizer (make_test_tokenizer) encodes it as
+        # [space, '-'] — suppressing the bare space token would ban the
+        # word separator itself and destroy every decode.
+        space = self.bpe.encode(" ")
+        space_tok = space[0] if len(space) == 1 else None
+        result = set()
+        for t in (" -", " '"):
+            ids = self.bpe.encode(t)
+            if ids and ids[0] != space_tok:
+                result.add(ids[0])
         for symbol in symbols + list(miscellaneous):
             for ids in [self.bpe.encode(symbol),
                         self.bpe.encode(" " + symbol)]:
+                if not ids or ids[0] == space_tok:
+                    continue
                 if len(ids) == 1 or symbol in miscellaneous:
                     result.add(ids[0])
         return sorted(result)

@@ -78,3 +78,37 @@ def test_sample_text_bounds():
     for _ in range(200):
         words = sample_text(rng, 1, 3)
         assert 1 <= len(words) <= 3
+
+
+def test_trained_pipeline_decodes_clean_file():
+    """End-to-end quality tripwire on the committed synth checkpoint: a
+    clean held-out file must decode at low WER.  Guards decode-path
+    regressions the unit suite can miss — a suppress-list change once
+    banned the space token and drove WER to 1.0 while every other test
+    stayed green."""
+    from manual_whisper_tpu.convert.from_hf import load_params
+    from manual_whisper_tpu.eval.metrics import wer
+    from manual_whisper_tpu.eval.synth import render_file_with_times, \
+        sample_text
+    from manual_whisper_tpu.models import MODEL_CONFIGS
+    from manual_whisper_tpu.pipeline.transcribe import TranscribePipeline
+    from manual_whisper_tpu.text import clean_result_segments
+    from manual_whisper_tpu.tokenizer import make_test_tokenizer
+
+    params = load_params(".synth_ckpt")
+    if params is None:
+        import pytest
+        pytest.skip("no committed synth checkpoint")
+    model = TranscribePipeline(params, MODEL_CONFIGS["test"],
+                               make_test_tokenizer(),
+                               asr_options={"max_new_tokens": 40,
+                                            "suppress_blank": False},
+                               language="en")
+    rng = np.random.default_rng(123)
+    utts = [sample_text(rng, 4, 8) for _ in range(3)]
+    audio, words_t = render_file_with_times(utts, seed=123)
+    truth = " ".join(w for w, _, _ in words_t)
+    result = model.transcribe(audio, batch_size=4, language="en")
+    cleaned, _, _ = clean_result_segments(result["segments"])
+    hyp = " ".join(s["text"].strip() for s in cleaned)
+    assert wer(truth, hyp) < 0.3, f"ref={truth!r} hyp={hyp!r}"

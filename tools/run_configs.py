@@ -40,7 +40,9 @@ def synth_meeting(seconds: float, n_speakers: int = 2,
                   sr: int = 16000) -> np.ndarray:
     """Speech-like bursts alternating between speaker-distinct carriers."""
     rng = np.random.default_rng(0)
-    t = np.arange(int(seconds * sr)) / sr
+    # float32 axis: the hour-long config's float64 temporaries (t, t//turn,
+    # t%turn, sin(...)) were ~0.5 GB EACH on the single-core host
+    t = (np.arange(int(seconds * sr)) / sr).astype(np.float32)
     x = 0.003 * rng.standard_normal(len(t)).astype(np.float32)
     carriers = [180.0 + 70.0 * i for i in range(n_speakers)]
     turn = 8.0

@@ -24,9 +24,14 @@ Usage: python tools/run_synth_eval.py [--ckpt .synth_ckpt] [--files 12]
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
+
+# this eval exists to score the synth-trained checkpoints; the loader
+# warning is for real-audio deployments (config.py)
+os.environ.setdefault("MWX_ALLOW_SYNTH_WEIGHTS", "1")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -50,7 +55,10 @@ def main() -> int:
     ap.add_argument("--long-minutes", type=int, default=60,
                     help="length of the long-file DER check (0 skips)")
     ap.add_argument("--seed", type=int, default=9000)
-    ap.add_argument("--out", default="EVAL_r03.json")
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default EVAL_r03.json; ablation "
+                         "--wer-only runs default to EVAL_ablation.json "
+                         "so they can't clobber the published artifact)")
     ap.add_argument("--platform", default="cpu",
                     help="cpu (default) or tpu; env JAX_PLATFORMS is "
                          "pinned by the axon sitecustomize, config wins")
@@ -58,6 +66,8 @@ def main() -> int:
                     help="run only the WER/CER SNR sweep (ablation runs: "
                          "beam-vs-greedy, trained-vs-energy VAD)")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = "EVAL_ablation.json" if args.wer_only else "EVAL_r03.json"
 
     import jax
     jax.config.update("jax_platforms",
@@ -109,6 +119,9 @@ def main() -> int:
                                             "beam_size": args.beam,
                                             "suppress_blank": False},
                                language="en", vad=vad)
+    # compile every program shape BEFORE the timed sweep, else the first
+    # files bill XLA compiles to corpus_rtf (run_configs.py does the same)
+    model.warmup(batch_size=args.batch, language="en")
 
     # -- WER/CER over held-out multi-utterance files, per SNR ----------------
     rng = np.random.default_rng(args.seed)
@@ -164,10 +177,14 @@ def main() -> int:
                              "end": sw[-1][2] + 0.05})
             out = align(segs, amodel, audio)
             s = word_timing_scores(words_t, out["word_segments"])
+            print(json.dumps({"align_file": i, **s}), flush=True)
+            if s["mae_start"] is None:   # no matched words on this file
+                continue
             maes_s.append(s["mae_start"])
             maes_e.append(s["mae_end"])
             f1s.append(s["f1"])
-            print(json.dumps({"align_file": i, **s}), flush=True)
+        if not f1s:
+            raise RuntimeError("alignment produced no matched words")
         timing = {"files": len(f1s),
                   "mae_start_ms": round(1000 * float(np.mean(maes_s)), 1),
                   "mae_end_ms": round(1000 * float(np.mean(maes_e)), 1),
@@ -221,6 +238,7 @@ def main() -> int:
         pass
     except Exception as exc:  # diarization must not sink the ASR numbers
         print(f"diarization eval failed: {exc}", file=sys.stderr)
+        der_conds["error"] = str(exc)
 
     summary = {
         "task": "synthetic tone-language v2 (56-word lexicon, 4-8-word "

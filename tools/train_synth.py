@@ -95,9 +95,9 @@ def main() -> int:
         hours long.  Same probs, same binarize — just batched."""
         if vad.params is None:
             return [vad(a) for a in files]
-        from manual_whisper_tpu.models.vad import (VadOptions, binarize,
-                                                   powerset_to_speech_prob,
-                                                   pyannet_forward)
+        from manual_whisper_tpu.models.vad import (
+            VadOptions, binarize, powerset_to_speech_prob,
+            pyannet_forward_chunked)
         vwin = int(vad.cfg.window_sec * 16000)
         rows, meta = [], []
         for a in files:
@@ -106,16 +106,12 @@ def main() -> int:
             padded[: len(a)] = a
             meta.append((len(rows), n_win, len(a)))
             rows.extend(padded.reshape(n_win, vwin))
-        cap = 64
-        probs = []
-        for lo in range(0, len(rows), cap):
-            chunk = np.zeros((cap, vwin), np.float32)
-            n = min(cap, len(rows) - lo)
-            chunk[:n] = np.stack(rows[lo: lo + n])
-            # numpy chunk stays uncommitted: the forward runs where the
-            # (CPU-committed) VAD params live, even on a TPU platform
-            lp = pyannet_forward(vad.params, chunk, vad.cfg)
-            probs.extend(np.asarray(powerset_to_speech_prob(lp))[:n])
+        # shared fixed-shape chunked forward: the same [PYANNET_CHUNK,
+        # window] program every product caller compiles, instead of a
+        # trainer-private batch shape (a second multi-minute BiLSTM
+        # compile under MWX_VAD_BACKEND=device)
+        lp = pyannet_forward_chunked(vad.params, np.stack(rows), vad.cfg)
+        probs = list(powerset_to_speech_prob(lp))
         out = []
         for start, n_win, n_samples in meta:
             flat = np.concatenate(probs[start: start + n_win])
@@ -128,7 +124,9 @@ def main() -> int:
 
     corpus = []                                     # (window_audio, text)
     file_i = 0
+    stalled_rounds = 0
     while len(corpus) < args.n_train:
+        before = len(corpus)
         batch_files, batch_words = [], []
         for _ in range(128):
             utts = [sample_text(data_rng, 1, 8)
@@ -151,6 +149,19 @@ def main() -> int:
                 if len(toks) > seq_len:
                     continue
                 corpus.append((clip, " ".join(words)))
+        if len(corpus) == before:
+            # a broken/stale VAD that yields no usable windows must fail
+            # loudly, not render files forever
+            stalled_rounds += 1
+            if stalled_rounds >= 3:
+                raise RuntimeError(
+                    f"corpus building stalled: {file_i} files rendered, "
+                    f"{len(corpus)} usable windows — is the segmentation "
+                    "checkpoint in MWX_WEIGHTS_DIR sane for this corpus?")
+        else:
+            stalled_rounds = 0
+        print(f"  corpus {len(corpus)}/{args.n_train} "
+              f"({file_i} files)", flush=True)
     print(f"{len(corpus)} windows from {file_i} files", flush=True)
 
     rng = np.random.default_rng(args.seed)

@@ -72,10 +72,11 @@ def main() -> int:
     # multi-minute axon compile)
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_pyannet_params(jax.random.PRNGKey(args.seed), cfg)
-        # output frame count + frame->time mapping from one real forward
-        n_frames = int(pyannet_forward(
-            params, jnp.zeros((1, window), jnp.float32), cfg).shape[1])
     params = jax.device_get(params)
+    # analytic output frame count (PyanNetConfig mirrors the forward's
+    # sinc-conv/pool arithmetic) — a batch-1 probe forward would pay a
+    # multi-minute axon compile just to learn a constant
+    n_frames = cfg.frames_per_window
     frame_t = (np.arange(n_frames) + 0.5) * (cfg.window_sec / n_frames)
     cls_of = {spk: i for i, spk in enumerate(POWERSET_CLASSES)}
 
@@ -179,9 +180,18 @@ def main() -> int:
             print(f"step {step:5d}  loss {float(loss):.4f}  "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
-    # frame accuracy on fresh windows (quick sanity, not the real eval)
-    logp = pyannet_forward(params, jnp.asarray(xs[:64]), cfg)
-    acc = float((np.argmax(np.asarray(logp), -1) == ys[:64]).mean())
+    # frame accuracy on fresh windows (quick sanity, not the real eval).
+    # Reuse the training batch shape: a fresh [64, window] BiLSTM program
+    # is another multi-minute axon compile for a print
+    probe_n = min(args.batch * 8, len(xs))
+    accs = []
+    for lo in range(0, probe_n, args.batch):
+        sel = slice(lo, lo + args.batch)
+        if ys[sel].shape[0] < args.batch:
+            break
+        logp = pyannet_forward(params, jnp.asarray(xs[sel]), cfg)
+        accs.append((np.argmax(np.asarray(logp), -1) == ys[sel]).mean())
+    acc = float(np.mean(accs)) if accs else float("nan")
     print(f"train-window frame accuracy: {acc:.4f}")
 
     out = Path(args.out).resolve()
