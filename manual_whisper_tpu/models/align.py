@@ -114,12 +114,15 @@ def ctc_viterbi_align(log_probs: np.ndarray, targets: List[int],
     end_state = S - 1 if delta[T - 1, S - 1] >= delta[T - 1, S - 2] else S - 2
     total = float(delta[T - 1, end_state])
 
-    # backtrack
+    # backtrack.  int(...) before subtracting: under NumPy 2 weak
+    # promotion `python_int - int8_scalar` casts the python int TO int8,
+    # which overflows once the trellis has >63 labels (S > 127) — e.g.
+    # end_state 224 on a 112-char zh segment
     path = np.empty(T, np.int64)
     s = end_state
     for t in range(T - 1, -1, -1):
         path[t] = s
-        s -= psi[t, s]
+        s -= int(psi[t, s])
 
     spans: List[Tuple[int, int, float]] = []
     for j in range(N):

@@ -95,6 +95,25 @@ def test_viterbi_empty_and_degenerate():
     assert ctc_viterbi_align(np.zeros((5, 5)), [], 0)[0] == []
 
 
+def test_viterbi_long_target_backtrack():
+    # >63 targets -> trellis S = 2N+1 > 127: the int8 backpointer table is
+    # fine, but backtracking `s -= psi[t, s]` overflowed under NumPy 2
+    # weak promotion (python-int state index cast TO int8) the moment
+    # end_state exceeded 127 — a 112-char zh segment hit it (state 224).
+    # Plant each of 100 labels on its own frame pair and check recovery.
+    n = 100
+    frames = []
+    for lab in range(1, n + 1):
+        frames.extend([lab, 0])
+    spans, total = ctc_viterbi_align(
+        _posteriors(frames, vocab=n + 1, peak=0.9),
+        list(range(1, n + 1)), blank_id=0)
+    assert len(spans) == n
+    assert np.isfinite(total)
+    for j, (s, e, score) in enumerate(spans):
+        assert s == 2 * j and e >= s + 1, (j, s, e)
+
+
 # ---------------------------------------------------------------------------
 # align() surface
 # ---------------------------------------------------------------------------
