@@ -274,7 +274,12 @@ def powerset_to_speaker_probs(log_probs: np.ndarray) -> np.ndarray:
     return np.clip(out, 0.0, 1.0)
 
 
-PYANNET_CHUNK = 16  # windows per device dispatch (the ONE compiled shape)
+PYANNET_CHUNK = 16  # windows per device dispatch (the main compiled shape)
+# Small-row bucket for short inputs: a 30 s file has 4 windows, and padding
+# them to 16 made the (host-CPU) BiLSTM 4x more expensive than the audio
+# warranted — the dominant wall cost of short transcriptions (BASELINE
+# config 1).  Two shapes total; each is a ~3 s CPU compile at warmup.
+PYANNET_CHUNK_SMALL = 4
 
 
 def vad_compute_device():
@@ -326,14 +331,20 @@ def pyannet_forward_chunked(params: Dict, rows: np.ndarray,
     (VAD speech_probs, diarization sliding windows, warmup)."""
     n = len(rows)
     out: List[np.ndarray] = []
-    for lo in range(0, n, PYANNET_CHUNK):
-        chunk = np.zeros((PYANNET_CHUNK, rows.shape[1]), np.float32)
-        m = min(PYANNET_CHUNK, n - lo)
+    lo = 0
+    while lo < n:
+        remaining = n - lo
+        rows_bucket = (PYANNET_CHUNK_SMALL
+                       if remaining <= PYANNET_CHUNK_SMALL
+                       else PYANNET_CHUNK)
+        chunk = np.zeros((rows_bucket, rows.shape[1]), np.float32)
+        m = min(rows_bucket, remaining)
         chunk[:m] = rows[lo: lo + m]
         # numpy chunk stays uncommitted: jit places it wherever the
         # (committed) params live — CPU by default, see vad_compute_device
         lp = pyannet_forward(params, chunk, cfg)
         out.append(np.asarray(lp)[:m])
+        lo += m
     return np.concatenate(out, axis=0)
 
 
@@ -504,6 +515,17 @@ class VoiceActivityDetector:
                 params = jax.tree.map(jnp.asarray, params)
         self.params = params
         self.cfg = cfg
+
+    def warmup(self) -> None:
+        """Compile both PyanNet chunk programs (PYANNET_CHUNK_SMALL and
+        PYANNET_CHUNK rows) so no request pays the BiLSTM compile; no-op
+        for the energy fallback."""
+        if self.params is None:
+            return
+        window = int(self.cfg.window_sec * SAMPLE_RATE)
+        for rows in (PYANNET_CHUNK_SMALL, PYANNET_CHUNK):
+            pyannet_forward_chunked(
+                self.params, np.zeros((rows, window), np.float32), self.cfg)
 
     def iter_speech_probs(self, audio: np.ndarray,
                           block_windows: int = PYANNET_CHUNK):

@@ -240,6 +240,9 @@ class TranscribePipeline:
                     decoder.decode(xa, temperature=1.0)
         if language is None and self.language is None:
             self.detect_language(np.zeros(1600, np.float32))
+        if hasattr(self.vad, "warmup"):
+            # both PyanNet chunk shapes (host-CPU BiLSTM compiles)
+            self.vad.warmup()
         if progress_callback:
             progress_callback(100.0, "warmup: done")
 

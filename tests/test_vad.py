@@ -99,6 +99,26 @@ def test_pyannet_forward_shapes_and_powerset():
     assert (speech <= spk.sum(-1) + 1e-5).all()
 
 
+def test_pyannet_chunked_row_buckets_match_direct():
+    # pyannet_forward_chunked pads to one of two fixed row buckets
+    # (PYANNET_CHUNK_SMALL for short inputs/tails, PYANNET_CHUNK
+    # otherwise); padded rows must never leak into real rows' outputs.
+    from manual_whisper_tpu.models.vad import (PYANNET_CHUNK,
+                                               PYANNET_CHUNK_SMALL,
+                                               pyannet_forward_chunked)
+    cfg = PyanNetConfig(window_sec=2.0)
+    params = init_pyannet_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(3)
+    for n in (1, PYANNET_CHUNK_SMALL, PYANNET_CHUNK_SMALL + 1,
+              PYANNET_CHUNK + 2):
+        rows = rng.standard_normal(
+            (n, int(cfg.window_sec * SR))).astype(np.float32) * 0.1
+        got = pyannet_forward_chunked(params, rows, cfg)
+        want = np.asarray(pyannet_forward(params, rows, cfg))
+        assert got.shape == want.shape == (n,) + want.shape[1:]
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_pyannet_vad_end_to_end_runs():
     cfg = PyanNetConfig(window_sec=2.0)
     params = init_pyannet_params(jax.random.PRNGKey(1), cfg)
