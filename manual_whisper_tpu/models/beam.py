@@ -35,18 +35,46 @@ import jax.numpy as jnp
 
 from ..ops.quant import mm
 from .whisper import (Params, WhisperConfig, _layer_norm, _mlp,
-                      decoder_forward, init_kv_cache, precompute_cross_kv)
+                      decoder_forward, init_kv_cache, precompute_cross_kv,
+                      unstack_cross_kv, unstack_decoder)
 
 NEG_INF = -1e30
 
 
-def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos, oh):
+def _beam_cross_attend(xq, xkv, dh):
+    """Beam cross attention; xq [B, K, H, dh]; xkv is the per-layer (k, v)
+    pair of [B, H, dh, Ta] shared across beams, or the int8 4-tuple from
+    quantize_cross_kv (per-position scales commute exactly out of both
+    dots, same math as whisper._cross_attend).  Returns [B, K, H, dh]."""
+    xq_h = jnp.swapaxes(xq, 1, 2)            # [B, H, K, dh]
+    if len(xkv) == 2:
+        x_k, x_v = xkv
+        # batch dims (b, h) lead: the bkhd,bhdt form lowers to a dot shape
+        # the XLA CPU thunk can't run in bf16 (TPU is fine either way);
+        # the transpose fuses into the consumer
+        xscores = jnp.einsum("bhkd,bhdt->bhkt", xq_h, x_k,
+                             preferred_element_type=jnp.float32)
+        xscores = jnp.swapaxes(xscores, 1, 2) * dh ** -0.5
+        xprobs = jax.nn.softmax(xscores, axis=-1).astype(xq.dtype)
+        return jnp.einsum("bkht,bhdt->bkhd", xprobs, x_v)
+    k_q, k_s, v_q, v_s = xkv
+    xscores = jnp.einsum("bhkd,bhdt->bhkt", xq_h, k_q.astype(xq.dtype),
+                         preferred_element_type=jnp.float32)
+    xscores = xscores * k_s[..., 0, :][:, :, None, :]     # [B, H, K, T]
+    xscores = jnp.swapaxes(xscores, 1, 2) * dh ** -0.5
+    xprobs = jax.nn.softmax(xscores, axis=-1)
+    xprobs = (xprobs * v_s[..., 0, :][:, None, :, :]).astype(xq.dtype)
+    return jnp.einsum("bkht,bhdt->bkhd", xprobs, v_q.astype(xq.dtype))
+
+
+def _beam_block(h, blk, n_head, ck, cv, mask, xkv, pos, oh):
     """One decoder block for beam-shaped activations.
 
     h [B, K, d]; self cache ck/cv [B, K, H, dh, T] (slot k updated at
-    ``pos``); cross x_k/x_v [B, H, dh, Ta] (transposed) shared across beams;
-    oh [B, K, J, T] one-hot ancestry (oh[b,k,j,t]=1 iff beam k's token at
-    time t lives in cache slot j) — the lazy beam reorder.
+    ``pos``); cross xkv per-layer (bf16 pair or int8 4-tuple, shared
+    across beams); oh [B, K, J, T] one-hot ancestry (oh[b,k,j,t]=1 iff
+    beam k's token at time t lives in cache slot j) — the lazy beam
+    reorder.  Returns (h, (ck, cv)) with the caches updated in place.
     """
     b, k, d = h.shape
     dh = d // n_head
@@ -75,65 +103,68 @@ def _beam_block(h, blk, n_head, ck, cv, mask, x_k, x_v, pos, oh):
 
     x_in = _layer_norm(h, blk["lnx"])
     xq = heads(mm(x_in, blk["xattn"]["q_w"]) + blk["xattn"]["q_b"])
-    # batch dims (b, h) lead: the bkhd,bhdt form lowers to a dot shape the
-    # XLA CPU thunk can't run in bf16 (TPU is fine either way); the
-    # transpose fuses into the consumer
-    xscores = jnp.einsum("bhkd,bhdt->bhkt", jnp.swapaxes(xq, 1, 2), x_k,
-                         preferred_element_type=jnp.float32)
-    xscores = jnp.swapaxes(xscores, 1, 2) * dh ** -0.5
-    xprobs = jax.nn.softmax(xscores, axis=-1).astype(xq.dtype)
-    xattn = jnp.einsum("bkht,bhdt->bkhd", xprobs, x_v).reshape(b, k, d)
+    xattn = _beam_cross_attend(xq, xkv, dh).reshape(b, k, d)
     h = h + (mm(xattn, blk["xattn"]["o_w"]) + blk["xattn"]["o_b"])
 
     m_in = _layer_norm(h, blk["ln2"])
     return h + _mlp(m_in, blk["mlp"]), (ck, cv)
 
 
-def _beam_step(params, cfg, token, pos, cache, cross_kv, oh):
+def _beam_step(dec_u, cfg, token, pos, cache, cross_layers, oh):
     """token [B, K] at absolute position ``pos`` -> (logits [B,K,V], cache).
 
-    cache: (k, v) [L, B, K, H, dh, T]; cross_kv: (k, v) [L, B, H, dh, Ta] (transposed);
+    ``dec_u``: per-layer decoder params (whisper.unstack_decoder);
+    cache: per-layer (k_layers, v_layers) of [B, K, H, dh, T];
+    cross_layers: per-layer cross K/V (whisper.unstack_cross_kv);
     oh [B, K, J, T] one-hot ancestry shared by every layer.
+
+    Unrolled over layers like whisper.decode_step (and for the same HBM
+    reason: in-place per-layer cache updates instead of scan ys churn).
     """
-    dec = params["decoder"]
     n_head = cfg.n_text_head
-    cache_k, cache_v = cache
-    x_k, x_v = cross_kv
-    max_len = cache_k.shape[-1]
+    k_layers, v_layers = cache
 
-    x = dec["tok_emb"][token] + jax.lax.dynamic_index_in_dim(
-        dec["pos_emb"], pos, axis=0, keepdims=False)
-    x = x.astype(cfg.dtype)                                # [B, K, d]
+    x = dec_u["tok_emb"][token] + jax.lax.dynamic_index_in_dim(
+        dec_u["pos_emb"], pos, axis=0, keepdims=False)
+    h = x.astype(cfg.dtype)                                # [B, K, d]
 
+    max_len = k_layers[0].shape[-1]
     mask = jnp.where(jnp.arange(max_len) <= pos, 0.0,
                      -jnp.inf).astype(jnp.float32)
 
-    def block_fn(carry, scanned):
-        h = carry
-        blk, ck, cv, xk, xv = scanned
-        h, (ck, cv) = _beam_block(h, blk, n_head, ck, cv, mask, xk, xv,
+    new_k: list = []
+    new_v: list = []
+    for blk, ck, cv, xkv in zip(dec_u["layers"], k_layers, v_layers,
+                                cross_layers):
+        h, (ck, cv) = _beam_block(h, blk, n_head, ck, cv, mask, xkv,
                                   pos, oh)
-        return h, (ck, cv)
-
-    x, (new_ck, new_cv) = jax.lax.scan(
-        block_fn, x, (dec["blocks"], cache_k, cache_v, x_k, x_v))
-    x = _layer_norm(x, dec["ln"])
-    logits = jnp.einsum("bkd,vd->bkv", x.astype(jnp.float32),
-                        dec["tok_emb"].astype(jnp.float32))
-    return logits, (new_ck, new_cv)
+        new_k.append(ck)
+        new_v.append(cv)
+    x = _layer_norm(h, dec_u["ln"])
+    # bf16 operands, f32 accumulation (see whisper.decode_step)
+    logits = jnp.einsum("bkd,vd->bkv", x, dec_u["tok_emb"],
+                        preferred_element_type=jnp.float32)
+    return logits, (tuple(new_k), tuple(new_v))
 
 
 @partial(jax.jit, static_argnames=("eot", "cfg", "max_new", "beam_size",
-                                   "sot_index", "no_speech_token"))
+                                   "sot_index", "no_speech_token",
+                                   "int8_cross_kv"))
 def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
                     suppress_mask: jnp.ndarray, blank_mask: jnp.ndarray,
                     eot: int, cfg: WhisperConfig, max_new: int,
                     beam_size: int, length_penalty: float = 1.0,
-                    sot_index: int = 0, no_speech_token: int = 0):
+                    sot_index: int = 0, no_speech_token: int = 0,
+                    int8_cross_kv: bool = False):
     """Beam search over a batch of encoded segments.
 
     Returns (tokens [B, max_new] of the best hypothesis, sum_logprobs [B],
     lengths [B], no_speech_probs [B]).
+
+    ``int8_cross_kv`` quantizes the cross-attention K/V exactly like the
+    greedy path (whisper.quantize_cross_kv): the cross K/V is the beam
+    loop's dominant HBM read too (shared across beams, re-read every
+    step), and the per-position scales commute out of both dots.
     """
     b = xa.shape[0]
     p = prefix.shape[0]
@@ -141,18 +172,24 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
     eot_i32 = jnp.int32(eot)
     vocab = cfg.n_vocab
 
-    cross_kv = precompute_cross_kv(params, xa, cfg)        # [L,B,H,dh,Ta]
+    cross_kv = precompute_cross_kv(params, xa, cfg,
+                                   quantize=int8_cross_kv)  # [L,B,H,dh,Ta]
     cache = init_kv_cache(cfg, b, max_len=p + max_new)
     prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
     prefill_logits, cache = decoder_forward(
         params, prefix_b, None, cfg, pos_offset=0, kv_cache=cache,
         cross_kv=cross_kv)
 
-    # [L, B, H, dh, T] -> [L, B, K, H, dh, T] (beams start identical)
+    # per-layer views for the unrolled beam step, materialized once per
+    # program (outside the while loop)
+    cross_layers = unstack_cross_kv(cross_kv, cfg.n_text_layer)
+    dec_u = unstack_decoder(params, cfg)
+
+    # per-layer [B, H, dh, T] -> [B, K, H, dh, T] (beams start identical)
     def tile(c):
-        return jnp.broadcast_to(
-            c[:, :, None], (c.shape[0], b, k) + c.shape[2:])
-    cache = (tile(cache[0]).copy(), tile(cache[1]).copy())
+        return jnp.broadcast_to(c[:, None], (b, k) + c.shape[1:]).copy()
+    cache = (tuple(tile(c) for c in cache[0]),
+             tuple(tile(c) for c in cache[1]))
 
     first = jax.nn.log_softmax(
         prefill_logits[:, -1, :] + suppress_mask + blank_mask, axis=-1)
@@ -201,8 +238,8 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
         oh = (anc[:, :, None, :] ==
               jnp.arange(k, dtype=jnp.int32)[None, None, :, None]
               ).astype(jnp.float32)                         # [B, K, J, T]
-        logits, cache = _beam_step(params, cfg, last, pos, cache,
-                                   cross_kv, oh)
+        logits, cache = _beam_step(dec_u, cfg, last, pos, cache,
+                                   cross_layers, oh)
         logp = jax.nn.log_softmax(logits + suppress_mask, axis=-1)
         # finished beams: only EOT continuation at zero cost
         frozen = jnp.full((vocab,), NEG_INF).at[eot].set(0.0)

@@ -27,7 +27,8 @@ import numpy as np
 
 from ..tokenizer import WhisperTokenizer
 from .whisper import (Params, WhisperConfig, decode_step, decoder_forward,
-                      init_kv_cache, pad_cross_kv, precompute_cross_kv)
+                      init_kv_cache, pad_cross_kv, precompute_cross_kv,
+                      unstack_cross_kv, unstack_decoder)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,7 +44,7 @@ class DecodingOptions:
     max_new_tokens: int = 224
     beam_size: int = 1           # faster-whisper/WhisperX default is 5
     length_penalty: float = 1.0
-    int8_cross_kv: bool = False  # halve decode HBM traffic (greedy path)
+    int8_cross_kv: bool = False  # halve decode HBM traffic (greedy + beam)
     fused_attention: bool = False  # Pallas decode-step attention (TPU)
     suppress_blank: bool = True
     suppress_non_speech: bool = True
@@ -154,12 +155,17 @@ def greedy_decode_jit(params: Params, xa: jnp.ndarray,
         _, _, i, _, finished, _, _, _ = state
         return jnp.logical_and(i < max_new, ~jnp.all(finished))
 
+    # per-layer views for the unrolled decode step, materialized ONCE per
+    # program (outside the while loop): weights, cross K/V (padded first
+    # for the fused kernels so no pad copy happens inside the loop)
     cross_step = pad_cross_kv(cross_kv) if fused_attention else cross_kv
+    cross_layers = unstack_cross_kv(cross_step, cfg.n_text_layer)
+    dec_u = unstack_decoder(params, cfg)
 
     def body(state):
         tokens, last, i, cache, finished, sum_lp, lengths, key = state
-        logits, cache = decode_step(params, last, p + i - 1, cache,
-                                    cross_step, cfg,
+        logits, cache = decode_step(dec_u, last, p + i - 1, cache,
+                                    cross_layers, cfg,
                                     use_fused=fused_attention,
                                     cross_len=xa.shape[1])
         logits = logits + suppress_mask
@@ -228,16 +234,16 @@ class BatchDecoder:
         # distinct sampling keys per dispatch (a repeated ladder
         # temperature must resample, not replay the same tokens)
         self._rng_calls = 0
-        if opts.beam_size > 1 and (opts.int8_cross_kv
-                                   or opts.fused_attention):
-            # the beam kernel runs plain bf16 einsum attention; silently
-            # honoring these flags would mislabel A/B measurements
-            # (ADVICE r2)
+        if opts.beam_size > 1 and opts.fused_attention:
+            # the beam kernel runs einsum attention (its lazy-ancestry
+            # self-attention has no fused-kernel variant); silently
+            # honoring the flag would mislabel A/B measurements
+            # (ADVICE r2).  int8_cross_kv IS honored for beam (r3 #2).
             import warnings
             warnings.warn(
-                "beam_size>1 decodes through the bf16 einsum attention "
-                "path; int8_cross_kv / fused_attention are ignored for "
-                "beam search", RuntimeWarning, stacklevel=2)
+                "beam_size>1 decodes through the einsum attention path; "
+                "fused_attention is ignored for beam search",
+                RuntimeWarning, stacklevel=2)
 
     def _replicate(self, x):
         """Replicate a small array over the mesh (no-op without one)."""
@@ -285,7 +291,8 @@ class BatchDecoder:
                 self._blank, tk.special.eot, self.cfg, max_new,
                 self.opts.beam_size, self.opts.length_penalty,
                 sot_index=sot_index,
-                no_speech_token=tk.special.no_speech)
+                no_speech_token=tk.special.no_speech,
+                int8_cross_kv=self.opts.int8_cross_kv)
         else:
             self._rng_calls += 1
             out = greedy_decode_jit(

@@ -28,7 +28,8 @@ import numpy as np
 
 from ..tokenizer import WhisperTokenizer
 from .whisper import (Params, WhisperConfig, decode_step, decoder_forward,
-                      init_kv_cache, pad_cross_kv, precompute_cross_kv)
+                      init_kv_cache, pad_cross_kv, precompute_cross_kv,
+                      unstack_cross_kv, unstack_decoder)
 
 NEG = -1e30
 
@@ -129,13 +130,16 @@ def greedy_timestamps_jit(params: Params, xa: jnp.ndarray,
     def cond(state):
         return jnp.logical_and(state[4] < max_new, ~jnp.all(state[6]))
 
+    # per-layer views for the unrolled decode step (see decode.py)
     cross_step = pad_cross_kv(cross_kv) if fused_attention else cross_kv
+    cross_layers = unstack_cross_kv(cross_step, cfg.n_text_layer)
+    dec_u = unstack_decoder(params, cfg)
 
     def body(state):
         (tokens, last, prev, last_ts, i, cache, finished, sum_lp,
          lengths) = state
-        logits, cache = decode_step(params, last, p + i - 1, cache,
-                                    cross_step, cfg,
+        logits, cache = decode_step(dec_u, last, p + i - 1, cache,
+                                    cross_layers, cfg,
                                     use_fused=fused_attention,
                                     cross_len=xa.shape[1])
         logits = apply_rules(logits, last, prev, last_ts)

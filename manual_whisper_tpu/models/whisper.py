@@ -449,15 +449,54 @@ def quantize_cross_kv(cross_kv):
 
 
 def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Self-attention KV cache [L, B, H, dh, max_len] (zeros).
+                  ) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]:
+    """Self-attention KV cache as PER-LAYER arrays [B, H, dh, max_len].
 
-    Transposed like the cross K/V: the position axis sits on the 128-lane
-    tile instead of the 64-wide head dim (which would pad 2x)."""
+    Returns (k_layers, v_layers), each a length-L tuple.  Two TPU reasons
+    for per-layer (not [L, ...]-stacked) caches in the decode loop:
+
+    - each layer's update is a dynamic_update_slice on its OWN while-loop
+      carry element, which XLA turns into a true in-place write; a stacked
+      cache scanned as lax.scan xs/ys re-materialized the full stack every
+      token (measured: two 152 MB copies + fresh ys allocations per step
+      at large-v3 batch 16 — more HBM traffic than the attention itself);
+    - loop-carried stacked caches were also assigned a dh-minor layout
+      (dh=64 padded to the 128-lane tile), doubling every read; per-layer
+      arrays keep the position axis on the lane tile as designed.
+
+    Transposed like the cross K/V: position on the 128-lane tile instead
+    of the 64-wide head dim (which would pad 2x)."""
     max_len = max_len or cfg.n_text_ctx
-    shape = (cfg.n_text_layer, batch, cfg.n_text_head,
+    shape = (batch, cfg.n_text_head,
              cfg.n_text_state // cfg.n_text_head, max_len)
-    return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
+    k = tuple(jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_text_layer))
+    v = tuple(jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_text_layer))
+    return k, v
+
+
+def unstack_layers(blocks, n_layers: int) -> tuple:
+    """Stacked [L, ...] block pytree -> tuple of per-layer pytrees.
+
+    Static slices: XLA executes them once per program (outside any decode
+    loop), so the unrolled decode step reads each layer's weights directly
+    instead of dynamic-slicing a stacked tensor every iteration."""
+    return tuple(jax.tree.map(lambda x: x[layer], blocks)
+                 for layer in range(n_layers))
+
+
+def unstack_decoder(params: Params, cfg: WhisperConfig) -> Dict[str, Any]:
+    """Decoder params with blocks unstacked per layer (see unstack_layers)."""
+    dec = params["decoder"]
+    return {"tok_emb": dec["tok_emb"], "pos_emb": dec["pos_emb"],
+            "ln": dec["ln"],
+            "layers": unstack_layers(dec["blocks"], cfg.n_text_layer)}
+
+
+def unstack_cross_kv(cross_kv, n_layers: int) -> tuple:
+    """Stacked cross K/V ((k, v) of [L, B, H, dh, Ta] or the int8 4-tuple)
+    -> tuple of per-layer tuples, for the unrolled decode step."""
+    return tuple(tuple(x[layer] for x in cross_kv)
+                 for layer in range(n_layers))
 
 
 def pad_cross_kv(cross_kv, multiple: int = 128):
@@ -563,6 +602,11 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
     re-projecting a full-precision copy inside the same program (at
     large-v3 batch 32 that bf16 intermediate alone is ~7 GB of HBM).
     ``xa`` may be None when ``cross_kv`` is supplied.
+
+    ``kv_cache`` is the per-layer format of init_kv_cache; the prefill
+    stacks it for one lax.scan over layers (a one-time copy per segment
+    batch — unlike the decode loop, prefill runs once) and unstacks the
+    result for the unrolled decode steps that follow.
     """
     dec = params["decoder"]
     n_head = cfg.n_text_head
@@ -582,10 +626,15 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
                    if cross_kv is None else cross_kv)
 
     if kv_cache is None:
-        cache_k, cache_v = init_kv_cache(cfg, b, max_len=t)
         max_len = t
+        shape = (cfg.n_text_layer, b, n_head,
+                 cfg.n_text_state // n_head, max_len)
+        cache_k = jnp.zeros(shape, cfg.dtype)
+        cache_v = jnp.zeros(shape, cfg.dtype)
     else:
-        cache_k, cache_v = kv_cache
+        k_layers, v_layers = kv_cache
+        cache_k = jnp.stack(k_layers)
+        cache_v = jnp.stack(v_layers)
         max_len = cache_k.shape[-1]
 
     # causal mask over cache positions: query i (abs pos_offset+i) sees
@@ -614,58 +663,76 @@ def decoder_forward(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
         block_fn, x, (dec["blocks"], cache_k, cache_v, xkv_stacked))
 
     x = _layer_norm(x, dec["ln"])
-    logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
-                        dec["tok_emb"].astype(jnp.float32))
-    return logits, (new_ck, new_cv)
+    # bf16 operands with f32 accumulation: materializing a f32 copy of the
+    # 51866x1280 embedding would cost 265 MB of extra HBM traffic (the MXU
+    # accumulates bf16 dots in f32 natively)
+    logits = jnp.einsum("btd,vd->btv", x, dec["tok_emb"],
+                        preferred_element_type=jnp.float32)
+    new_cache = (tuple(new_ck[layer] for layer in range(new_ck.shape[0])),
+                 tuple(new_cv[layer] for layer in range(new_cv.shape[0])))
+    return logits, new_cache
 
 
-def decode_step(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
-                kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
-                cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+def decode_step(dec_unstacked: Dict[str, Any], token: jnp.ndarray,
+                pos: jnp.ndarray,
+                kv_cache: Tuple[tuple, tuple],
+                cross_layers: tuple,
                 cfg: WhisperConfig, use_fused: bool = False,
                 cross_len: int = 0,
-                ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Single decode step (not jitted: called inside the decode loop's scan).
+                ) -> Tuple[jnp.ndarray, Tuple[tuple, tuple]]:
+    """Single decode step (traced inside the decode loop's while body).
 
     token [B] int32, pos scalar int32 -> (logits [B, n_vocab], new cache).
 
+    ``dec_unstacked``: per-layer decoder params from ``unstack_decoder``;
+    ``kv_cache``: per-layer (k_layers, v_layers) from ``init_kv_cache``;
+    ``cross_layers``: per-layer cross K/V from ``unstack_cross_kv``.
+
+    The layer loop is UNROLLED (the JetStream/MaxText pattern for TPU
+    decode): each layer's cache update is an in-place dynamic_update_slice
+    on its own while-carry array and each layer's weights/cross-KV are
+    plain loop-invariant arrays — a lax.scan over stacked layers instead
+    re-materialized the full cache every token and pushed the cache into a
+    dh-minor layout that padded every read 2x (measured 0.66 -> see
+    tools/bench_decode_step.py).
+
     ``use_fused`` routes both attentions to the fused Pallas decode
-    kernels (TPU); ``cross_len`` is the true cross length when cross_kv
-    was padded with pad_cross_kv.
+    kernels (TPU); ``cross_len`` is the true cross length when the cross
+    K/V was padded with pad_cross_kv.
     """
-    dec = params["decoder"]
+    dec = dec_unstacked
     n_head = cfg.n_text_head
-    cache_k, cache_v = kv_cache
-    max_len = cache_k.shape[-1]
+    k_layers, v_layers = kv_cache
+    max_len = k_layers[0].shape[-1]
 
     x = dec["tok_emb"][token] + jax.lax.dynamic_index_in_dim(
         dec["pos_emb"], pos, axis=0, keepdims=False)
-    x = x[:, None, :].astype(cfg.dtype)                    # [B, 1, d]
+    h = x[:, None, :].astype(cfg.dtype)                    # [B, 1, d]
 
     # valid cache slots: <= pos
     mask = jnp.where(jnp.arange(max_len)[None, :] <= pos,
                      0.0, -jnp.inf).astype(jnp.float32)
 
-    def block_fn(carry, scanned):
-        h = carry
-        blk, ck, cv, xkv = scanned
+    new_k: list = []
+    new_v: list = []
+    for blk, ck, cv, xkv in zip(dec["layers"], k_layers, v_layers,
+                                cross_layers):
         a_in = _layer_norm(h, blk["ln1"])
-        new_k = _split_heads(mm(a_in, blk["attn"]["k_w"]), n_head)
-        new_v = _split_heads(mm(a_in, blk["attn"]["v_w"])
-                             + blk["attn"]["v_b"], n_head)
+        k_proj = _split_heads(mm(a_in, blk["attn"]["k_w"]), n_head)
+        v_proj = _split_heads(mm(a_in, blk["attn"]["v_w"])
+                              + blk["attn"]["v_b"], n_head)
         ck = jax.lax.dynamic_update_slice(
-            ck, jnp.swapaxes(new_k, -1, -2).astype(ck.dtype), (0, 0, 0, pos))
+            ck, jnp.swapaxes(k_proj, -1, -2).astype(ck.dtype), (0, 0, 0, pos))
         cv = jax.lax.dynamic_update_slice(
-            cv, jnp.swapaxes(new_v, -1, -2).astype(cv.dtype), (0, 0, 0, pos))
+            cv, jnp.swapaxes(v_proj, -1, -2).astype(cv.dtype), (0, 0, 0, pos))
         h = _decoder_block(h, blk, n_head, ck, cv, mask, xkv,
                            fused_pos=pos if use_fused else None,
                            cross_len=cross_len)
-        return h, (ck, cv)
+        new_k.append(ck)
+        new_v.append(cv)
 
-    x, (new_ck, new_cv) = jax.lax.scan(
-        block_fn, x, (dec["blocks"], cache_k, cache_v, cross_kv))
-
-    x = _layer_norm(x, dec["ln"])[:, 0, :]
-    logits = jnp.einsum("bd,vd->bv", x.astype(jnp.float32),
-                        dec["tok_emb"].astype(jnp.float32))
-    return logits, (new_ck, new_cv)
+    x = _layer_norm(h, dec["ln"])[:, 0, :]
+    # bf16 x bf16 -> f32 accumulate (see decoder_forward's logits note)
+    logits = jnp.einsum("bd,vd->bv", x, dec["tok_emb"],
+                        preferred_element_type=jnp.float32)
+    return logits, (tuple(new_k), tuple(new_v))

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from manual_whisper_tpu.convert import (convert_whisper_state_dict,
                                         hf_config_to_whisper_config)
 from manual_whisper_tpu.models import (decode_step, decoder_forward, encode,
+                                       unstack_cross_kv, unstack_decoder,
                                        init_kv_cache, precompute_cross_kv,
                                        sinusoids)
 
@@ -105,12 +106,14 @@ def test_incremental_decode_matches_prefill(hf_model_and_params):
     xa = encode(params, mel, cfg)
     full_logits, _ = decoder_forward(params, tokens, xa, cfg)
 
-    cross_kv = precompute_cross_kv(params, xa, cfg)
+    cross_layers = unstack_cross_kv(precompute_cross_kv(params, xa, cfg),
+                                    cfg.n_text_layer)
+    dec_u = unstack_decoder(params, cfg)
     cache = init_kv_cache(cfg, batch=2, max_len=16)
     step_logits = []
     for t in range(tokens.shape[1]):
-        logits, cache = decode_step(params, jnp.asarray(tokens[:, t]),
-                                    jnp.int32(t), cache, cross_kv, cfg)
+        logits, cache = decode_step(dec_u, jnp.asarray(tokens[:, t]),
+                                    jnp.int32(t), cache, cross_layers, cfg)
         step_logits.append(np.asarray(logits))
     step_logits = np.stack(step_logits, axis=1)
     np.testing.assert_allclose(step_logits, np.asarray(full_logits),
@@ -128,15 +131,17 @@ def test_prefill_then_steps_matches_full(hf_model_and_params):
     xa = encode(params, mel, cfg)
     full_logits, _ = decoder_forward(params, tokens, xa, cfg)
 
-    cross_kv = precompute_cross_kv(params, xa, cfg)
+    cross_layers = unstack_cross_kv(precompute_cross_kv(params, xa, cfg),
+                                    cfg.n_text_layer)
+    dec_u = unstack_decoder(params, cfg)
     cache = init_kv_cache(cfg, batch=2, max_len=16)
     prefill_logits, cache = decoder_forward(
         params, tokens[:, :split], xa, cfg, pos_offset=0, kv_cache=cache)
     np.testing.assert_allclose(np.asarray(prefill_logits),
                                np.asarray(full_logits[:, :split]), atol=4e-3)
     for t in range(split, tokens.shape[1]):
-        logits, cache = decode_step(params, jnp.asarray(tokens[:, t]),
-                                    jnp.int32(t), cache, cross_kv, cfg)
+        logits, cache = decode_step(dec_u, jnp.asarray(tokens[:, t]),
+                                    jnp.int32(t), cache, cross_layers, cfg)
         np.testing.assert_allclose(np.asarray(logits),
                                    np.asarray(full_logits[:, t]), atol=4e-3)
 
