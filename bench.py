@@ -148,28 +148,34 @@ def _analytic_flops(cfg, n_windows: int, gen_tokens: int,
     return n_windows * (enc + ckv) + n_windows * dec
 
 
-def _decode_roofline_note(cfg, batch: int, avg_cache: float,
+def _decode_roofline_note(cfg, batch: int, cache_len: float,
                           int8_weights: bool, int8_ckv: bool,
                           measured_ms_per_row: float) -> str:
     """HBM-roofline bound for one decode step vs the measured time.
 
     Bytes read per step: decoder weights (L*(4d^2 self + 2d^2 cross +
-    8d^2 mlp) + d*vocab logits), cross-KV for every batch row
-    (L*B*2*d*Ta), and the growing self-KV cache (bf16).  The decode loop
-    is bandwidth-bound; this records how close the measured step time is
-    to bytes/bandwidth (VERDICT.md r2 #7)."""
+    8d^2 mlp) + d*vocab bf16 logits), cross-KV for every batch row
+    (L*B*2*d*Ta, + f32 per-position scales when int8), and the
+    self-KV cache.  ``cache_len`` is the STATIC cache length the
+    implementation actually reads every step (prefix + max_new; XLA
+    static shapes read the full cache and mask, they do not grow with
+    position).  The decode loop is bandwidth-bound; this records how
+    close the measured step time is to bytes/bandwidth (VERDICT r2 #7,
+    r3 #1)."""
     d = cfg.n_audio_state
     ta = cfg.n_audio_ctx
     wb = 1 if int8_weights else 2
     w_bytes = cfg.n_text_layer * 14 * d * d * wb + d * cfg.n_vocab * 2
     ckv_bytes = cfg.n_text_layer * batch * 2 * d * ta * (1 if int8_ckv else 2)
-    skv_bytes = cfg.n_text_layer * batch * 2 * d * avg_cache * 2
+    if int8_ckv:   # f32 per-(layer,row,head,position) scales
+        ckv_bytes += cfg.n_text_layer * batch * 2 * (d // 64) * ta * 4
+    skv_bytes = cfg.n_text_layer * batch * 2 * d * cache_len * 2
     total = w_bytes + ckv_bytes + skv_bytes
     min_ms_row = 1000.0 * total / V5E_HBM_BW / batch
     return (f"decode HBM roofline: {total / 1e9:.2f} GB/step "
             f"(weights {w_bytes / 1e9:.2f} + crossKV {ckv_bytes / 1e9:.2f} "
-            f"+ selfKV {skv_bytes / 1e9:.2f}) @ 819 GB/s -> min "
-            f"{min_ms_row:.3f} ms/token-row vs measured "
+            f"+ selfKV {skv_bytes / 1e9:.2f} static-read) @ 819 GB/s -> "
+            f"min {min_ms_row:.3f} ms/token-row vs measured "
             f"{measured_ms_per_row:.3f}")
 
 
@@ -215,10 +221,14 @@ def _vad_label(model) -> str:
 
 def main() -> int:
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
-    # 768 s -> 64 voiced bursts -> 32 merged ~22 s windows -> exactly two
-    # full batch-16 dispatches: ONE compiled (encode, decode) shape pair,
-    # so warmup compiles half as many XLA programs as a ragged tail would
+    # batch 32 is the recorded config since r4: the unrolled decode loop
+    # measures 0.347 ms/token-row at 32 vs 0.389 at 16 (ckv8 int8), and
+    # one batch-32 dispatch halves the host/tunnel round-trips of two
+    # batch-16 ones (tools/bench_decode_step.py A/B)
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    # 768 s -> 64 voiced bursts -> 32 merged ~22 s windows -> exactly one
+    # full batch-32 dispatch: ONE compiled (encode, decode) shape pair,
+    # so warmup compiles as few XLA programs as possible
     seconds = int(os.environ.get("BENCH_SECONDS", "768"))
     max_new = int(os.environ.get("BENCH_MAX_NEW_TOKENS", "112"))
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "520"))
@@ -233,9 +243,9 @@ def main() -> int:
     fused_env = os.environ.get("BENCH_FUSED")
     # BENCH_BEAM=5 measures the faster-whisper/WhisperX default decode
     # mode; the pipeline's greedy default is a perf choice whose cost
-    # this knob quantifies.  NOTE: beam decode runs the plain bf16
-    # einsum attention path — fused/int8_cross_kv do not apply, and the
-    # metric suffix reflects what actually ran (ADVICE r2).
+    # this knob quantifies.  Beam honors int8_cross_kv since r4 (the
+    # scales commute out of the beam cross dots too); fused_attention
+    # still does not apply to beam and the suffix reflects what ran.
     beam = int(os.environ.get("BENCH_BEAM", "1"))
 
     deadline = _T_START + budget_s
@@ -305,10 +315,10 @@ def main() -> int:
     _log(f"model loaded; vad={vad_label}")
 
     suffix = "" if compute_type == "bfloat16" else f"_{compute_type}"
-    if int8_ckv and beam <= 1:
+    if int8_ckv:
         suffix += "_ckv8"
     if beam > 1:
-        suffix += f"_beam{beam}_bf16attn"
+        suffix += f"_beam{beam}"
     metric = (f"rtf_{model_name.replace('-', '_')}"
               f"_batch{batch_size}{suffix}")
 
@@ -386,11 +396,15 @@ def main() -> int:
                                  / V5E_BF16_PEAK, 4),
                 "mfu_note": _decode_roofline_note(
                     model.cfg, batch_size,
-                    prefix_len + max_new / 2.0,
+                    prefix_len + max_new,
                     compute_type == "int8", int8_ckv, ms_per_row),
                 "gen_tokens": gen_tokens,
                 "windows": n_windows,
             })
+            # phase-split fields are the STABLE citable numbers (the wall
+            # headline swings with tunnel health); keep them in the
+            # watchdog's fallback payload too
+            _STATE["headline"] = dict(out)
         except Exception as exc:  # noqa: BLE001 — headline must survive
             out["phase_split_error"] = f"{type(exc).__name__}: {exc}"
     else:

@@ -232,8 +232,16 @@ class BatchDecoder:
         # dispatch would sit on the latency-critical submit path
         self._ts_cache: Optional[tuple] = None
         # distinct sampling keys per dispatch (a repeated ladder
-        # temperature must resample, not replay the same tokens)
-        self._rng_calls = 0
+        # temperature must resample, not replay the same tokens).  Callers
+        # that care about reproducibility pass a deterministic ``rng_tag``
+        # (the pipeline uses its batch dispatch index): with the fetch
+        # worker, first-rung submits (dispatch thread) and ladder retries
+        # (worker thread) interleave nondeterministically, and a shared
+        # draw-order counter would make sampled retries depend on the
+        # race.  The counter remains the fallback for direct callers
+        # (itertools.count advances atomically under the GIL).
+        import itertools
+        self._rng_counter = itertools.count(1)
         if opts.beam_size > 1 and opts.fused_attention:
             # the beam kernel runs einsum attention (its lazy-ancestry
             # self-attention has no fused-kernel variant); silently
@@ -265,20 +273,25 @@ class BatchDecoder:
             without_timestamps=self.opts.without_timestamps)
         return np.asarray(prompt + sot_seq, np.int32), len(prompt)
 
-    def decode(self, xa: jnp.ndarray,
-               temperature: float = 0.0) -> List[SegmentResult]:
+    def decode(self, xa: jnp.ndarray, temperature: float = 0.0,
+               rng_tag: Optional[int] = None) -> List[SegmentResult]:
         """Decode a batch of encoded segments xa [B, Ta, d] at one
         temperature; returns per-segment results with quality stats."""
-        return self.decode_finalize(self.decode_submit(xa, temperature),
-                                    int(xa.shape[0]), temperature)
+        return self.decode_finalize(
+            self.decode_submit(xa, temperature, rng_tag=rng_tag),
+            int(xa.shape[0]), temperature)
 
-    def decode_submit(self, xa: jnp.ndarray, temperature: float = 0.0):
+    def decode_submit(self, xa: jnp.ndarray, temperature: float = 0.0,
+                      rng_tag: Optional[int] = None):
         """Dispatch the decode program WITHOUT fetching results.
 
         JAX dispatch is asynchronous: submitting every batch's first-rung
         decode before fetching any lets batch i+1's device time overlap
         batch i's host fetch + post-processing (pipeline/transcribe.py
-        uses this; tunnel/PCIe round-trips are a real per-batch cost)."""
+        uses this; tunnel/PCIe round-trips are a real per-batch cost).
+
+        ``rng_tag``: deterministic sampling-key tag (see __init__); None
+        draws from the process-order counter."""
         tk = self.tokenizer
         prefix, sot_index = self._prefix()
         max_new = min(self.opts.max_new_tokens,
@@ -294,13 +307,14 @@ class BatchDecoder:
                 no_speech_token=tk.special.no_speech,
                 int8_cross_kv=self.opts.int8_cross_kv)
         else:
-            self._rng_calls += 1
+            if rng_tag is None:
+                rng_tag = next(self._rng_counter)
             out = greedy_decode_jit(
                 self.params, xa, self._replicate(jnp.asarray(prefix)),
                 self._suppress,
                 self._blank, self._replicate(jnp.float32(temperature)),
                 self._replicate(jax.random.PRNGKey(
-                    self.opts.seed + 1000003 * self._rng_calls)),
+                    self.opts.seed + 1000003 * rng_tag)),
                 tk.special.eot, self.cfg, max_new,
                 sot_index=sot_index,
                 no_speech_token=tk.special.no_speech,
@@ -390,7 +404,8 @@ class BatchDecoder:
         return False
 
     def decode_with_fallback(self, xa: jnp.ndarray, first=None,
-                             n_valid: Optional[int] = None
+                             n_valid: Optional[int] = None,
+                             rng_tag: Optional[int] = None
                              ) -> List[SegmentResult]:
         """faster-whisper style temperature ladder: retry failing segments
         at increasing temperature; keep the first passing result.
@@ -408,7 +423,9 @@ class BatchDecoder:
         from ..pipeline.chunking import _bucket_for
         temps = self.opts.temperatures or (0.0,)
         if first is None:
-            first = self.decode_submit(xa, temps[0])
+            first = self.decode_submit(
+                xa, temps[0],
+                rng_tag=None if rng_tag is None else rng_tag * 16)
         results = self.decode_finalize(first, int(xa.shape[0]), temps[0])
         n_valid = int(xa.shape[0]) if n_valid is None else n_valid
         divisor = 1
@@ -417,13 +434,19 @@ class BatchDecoder:
             divisor = self.mesh.shape[DATA_AXIS]
         pending = [i for i, r in enumerate(results[:n_valid])
                    if self._needs_fallback(r)]
-        for temp in temps[1:]:
+        for rung, temp in enumerate(temps[1:], start=1):
             if not pending:
                 break
             rows = _bucket_for(len(pending), int(xa.shape[0]), divisor)
             idx = pending + [pending[0]] * (rows - len(pending))
             sub = xa[np.asarray(idx)]
-            retried = self.decode(sub, temperature=temp)[:len(pending)]
+            # per-rung deterministic tag (rung < 16: the ladder is 6 temps;
+            # a longer custom ladder only risks harmless cross-batch key
+            # reuse, never same-rows key replay)
+            retried = self.decode(
+                sub, temperature=temp,
+                rng_tag=None if rng_tag is None else rng_tag * 16 + rung
+                )[:len(pending)]
             still = []
             for j, i in enumerate(pending):
                 results[i] = retried[j]

@@ -330,6 +330,12 @@ def pyannet_forward_chunked(params: Dict, rows: np.ndarray,
     shape compiles once per process and amortises across all callers
     (VAD speech_probs, diarization sliding windows, warmup)."""
     n = len(rows)
+    if n == 0:
+        # total over degenerate inputs (e.g. future sliding-window callers
+        # on sub-window audio): np.concatenate([]) below raises an
+        # unrelated ValueError otherwise (ADVICE r3)
+        return np.zeros((0, cfg.frames_per_window, cfg.n_classes),
+                        np.float32)
     out: List[np.ndarray] = []
     lo = 0
     while lo < n:

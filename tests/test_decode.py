@@ -109,9 +109,9 @@ def test_fallback_ladder_retries_failing_rows(setup, monkeypatch):
     calls = []
     real_decode = dec.decode
 
-    def spy(xa_in, temperature=0.0):
+    def spy(xa_in, temperature=0.0, rng_tag=None):
         calls.append((int(xa_in.shape[0]), temperature))
-        return real_decode(xa_in, temperature)
+        return real_decode(xa_in, temperature, rng_tag=rng_tag)
 
     monkeypatch.setattr(dec, "decode", spy)
     results = dec.decode_with_fallback(xa)
@@ -129,9 +129,9 @@ def test_fallback_retries_pad_to_bucket(setup, monkeypatch):
     calls = []
     real_decode = dec.decode
 
-    def spy(xa_in, temperature=0.0):
+    def spy(xa_in, temperature=0.0, rng_tag=None):
         calls.append(int(xa_in.shape[0]))
-        return real_decode(xa_in, temperature)
+        return real_decode(xa_in, temperature, rng_tag=rng_tag)
 
     # rows 0-2 fail the first rung, row 3 passes; retries never fail
     verdicts = iter([True, True, True, False])

@@ -249,6 +249,33 @@ def test_bounded_inflight_matches_unbounded(monkeypatch):
     assert starts == sorted(starts)
 
 
+def test_fetch_worker_matches_serial(monkeypatch):
+    """MWX_FETCH_WORKER=0 (inline finalization on the dispatch thread)
+    must produce exactly the threaded default's segments — the worker
+    only moves host work off the critical path, never changes results,
+    order, or the progress contract."""
+    from manual_whisper_tpu import config as mwx_config
+    model = load_model("test", language="zh")
+    audio = _speech_audio(20.0)
+    progress: list = []
+    ref = model.transcribe(audio, batch_size=2, language="zh",
+                           temperature=(0.0,),
+                           progress_callback=lambda p, m:
+                           progress.append(p))
+    assert progress and progress[-1] == 100.0
+    monkeypatch.setenv("MWX_FETCH_WORKER", "0")
+    mwx_config.clear_env_cache()
+    try:
+        got = model.transcribe(audio, batch_size=2, language="zh",
+                               temperature=(0.0,))
+    finally:
+        monkeypatch.delenv("MWX_FETCH_WORKER")
+        mwx_config.clear_env_cache()
+    assert got == ref
+    starts = [s["start"] for s in got["segments"]]
+    assert starts == sorted(starts)
+
+
 def test_decoder_cache_is_lru_bounded(tiny_pipeline):
     """Per-request prompt overrides must not grow the decoder cache (and
     its compiled programs) unboundedly over a server's lifetime."""

@@ -139,7 +139,14 @@ def run_config(n: int, model_override=None) -> dict:
     # timed pass is therefore steady-state — what a warmed server
     # (MWX_WARMUP) serves — matching the "timed after warmup" claim.
     workload()
-    notes.clear()   # keep only the timed pass's notes
+    # keep only the timed pass's notes — but preserve the SETUP-phase
+    # notes ('alignment unavailable: ...', 'diarization unavailable: ...'),
+    # which the timed workload never re-appends: without them a config 3-5
+    # artifact could report a full-pipeline RTF while silently omitting
+    # that alignment or diarization never ran at all (ADVICE r3)
+    setup_notes = [m for m in notes if "unavailable" in m]
+    notes.clear()
+    notes.extend(setup_notes)
 
     t0 = time.time()
     result = workload()
