@@ -90,6 +90,26 @@ def test_viterbi_repeated_labels_need_blank():
     assert e1 <= 2 and s2 >= 3
 
 
+def test_extend_span_starts_anchors_to_previous_end():
+    """Peaky-CTC start correction: spans pull back toward the previous
+    aligned span's end, capped by the backoff; unaligned spans pass
+    through untouched and do not anchor."""
+    from manual_whisper_tpu.models.align import extend_span_starts
+    fd = 0.02
+    spans = [(8, 9, 0.9),     # first span: no anchor, capped backoff
+             (12, 13, 0.8),   # gap of 3 frames to prev end -> pulls to 9
+             (-1, -1, 0.0),   # unaligned: passthrough, no anchoring
+             (30, 31, 0.7)]   # far from prev end -> capped at 4 frames
+    out = extend_span_starts(spans, fd, max_backoff_sec=0.08)
+    assert out[0] == (4, 9, 0.9)        # 8 - 4-frame cap
+    assert out[1] == (9, 13, 0.8)       # anchored to prev end 9
+    assert out[2] == (-1, -1, 0.0)
+    assert out[3] == (26, 31, 0.7)      # 30 - cap (prev end 13 is farther)
+    # never moves a start forward, never crosses its own end
+    weird = extend_span_starts([(5, 6, 1.0), (5, 7, 1.0)], fd, 0.08)
+    assert weird[1][0] <= 5 and weird[1][0] >= min(6, 5)
+
+
 def test_viterbi_empty_and_degenerate():
     assert ctc_viterbi_align(np.zeros((0, 5)), [1], 0)[0] == []
     assert ctc_viterbi_align(np.zeros((5, 5)), [], 0)[0] == []
