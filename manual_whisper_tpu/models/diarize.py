@@ -347,6 +347,39 @@ def agglomerative_cluster(embeddings: np.ndarray,
     return _stable_labels(labels)
 
 
+def _absorb_small_clusters(labels: np.ndarray, embeddings: np.ndarray,
+                           min_size: int = 2, floor: int = 1) -> np.ndarray:
+    """Reassign clusters with fewer than ``min_size`` members to the
+    nearest (cosine, centroid) surviving cluster — pyannote-3.1's
+    min_cluster_size rule.  Residual mixture embeddings (overlap frames
+    that never occur solo) otherwise mint one-window phantom speakers.
+    Never drops below ``floor`` surviving clusters; no-op when every
+    cluster is small."""
+    if len(labels) == 0:
+        return labels
+    ids, counts = np.unique(labels, return_counts=True)
+    big = [int(i) for i, c in zip(ids, counts) if c >= min_size]
+    if not big or len(big) == len(ids):
+        return labels
+    if len(big) < floor:   # keep the largest `floor` clusters instead
+        order = np.argsort(-counts)
+        big = [int(ids[i]) for i in order[:floor]]
+    centroids = {}
+    for g in big:
+        c = embeddings[labels == g].mean(axis=0)
+        centroids[g] = c / max(float(np.linalg.norm(c)), 1e-8)
+    out = labels.copy()
+    for g in ids:
+        if int(g) in big:
+            continue
+        members = labels == g
+        e = embeddings[members].mean(axis=0)
+        e = e / max(float(np.linalg.norm(e)), 1e-8)
+        nearest = max(centroids, key=lambda k: float(e @ centroids[k]))
+        out[members] = nearest
+    return _stable_labels(out)
+
+
 def _stable_labels(labels: np.ndarray) -> np.ndarray:
     """Renumber clusters by first appearance (SPEAKER_00 speaks first)."""
     out = np.zeros(len(labels), np.int64)
@@ -415,7 +448,8 @@ class DiarizationPipeline:
                  window_sec: float = 3.0,
                  step_sec: float = 1.5,
                  seg_step_sec: Optional[float] = None,
-                 threshold: float = 0.7):
+                 threshold: float = 0.7,
+                 min_cluster_size: int = 2):
         from .vad import PyanNetConfig, load_segmentation_params
         if segmentation_params is None:
             try:
@@ -452,6 +486,9 @@ class DiarizationPipeline:
         # sub-half-window values)
         self.seg_step_sec = seg_step_sec
         self.threshold = threshold
+        # clusters smaller than this reassign to the nearest big cluster
+        # (_absorb_small_clusters); pyannote-3.1's min_cluster_size rule
+        self.min_cluster_size = min_cluster_size
 
     # _embed pads clips to this ladder (seconds): embed_forward jits per
     # mel length, and the masked active-speaker clips have near-unique
@@ -584,7 +621,19 @@ class DiarizationPipeline:
                 act = spk[wi, :, ls]
                 if act.mean() < 0.1 or (act > 0.5).sum() * frame_dur < 0.4:
                     continue
-                mask = np.repeat(act > 0.5,
+                # embed on frames where this local speaker talks ALONE
+                # (pyannote-3.1 semantics): frames shared with another
+                # active local speaker carry a two-voice mixture whose
+                # embedding lands between the true speakers — AHC then
+                # mints phantom clusters from them (measured: spurious
+                # SPEAKER_03 turns on 3-speaker overlap files).  Fall
+                # back to all active frames when the speaker is never
+                # alone in this window.
+                others = np.delete(spk[wi], ls, axis=1).max(axis=1)
+                solo = (act > 0.5) & (others < 0.5)
+                frames_mask = solo if solo.sum() * frame_dur >= 0.4 \
+                    else (act > 0.5)
+                mask = np.repeat(frames_mask,
                                  int(np.ceil(window / n_frames)))[:window]
                 active_audio = clip[mask]
                 if len(active_audio) < SAMPLE_RATE // 4:
@@ -604,6 +653,9 @@ class DiarizationPipeline:
         labels = agglomerative_cluster(
             embs, threshold=self.threshold,
             min_speakers=min_speakers or 1, max_speakers=max_speakers)
+        labels = _absorb_small_clusters(labels, embs,
+                                        min_size=self.min_cluster_size,
+                                        floor=min_speakers or 1)
 
         # stitch: accumulate global speaker activity on an absolute frame
         # grid (average across overlapping windows)
