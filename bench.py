@@ -309,6 +309,16 @@ def main() -> int:
     model = load_model(
         model_name, language="zh", compute_type=compute_type,
         asr_options=asr_options)
+    # Beam runs suppress EOT (faster-whisper's suppress_tokens option):
+    # synthetic zero-int8 weights give near-uniform logits, where beam's
+    # length-normalised scoring ends every row after ~2 tokens — the
+    # measured decode phase must run the same realistic token budget the
+    # greedy config does, not an empty-hypothesis early-out.  Greedy's
+    # argmax already never emits EOT on these weights.
+    if (beam > 1 and os.environ.get("BENCH_SUPPRESS_EOT", "1") == "1") \
+            or os.environ.get("BENCH_SUPPRESS_EOT") == "1":
+        model.asr_options["suppress_tokens"] = (
+            model.tokenizer.special.eot,)
     audio = synth_speech(seconds)
     duration = len(audio) / 16000.0
     vad_label = _vad_label(model)

@@ -5,9 +5,12 @@ to 16 kHz mono f32, reference: transcribe.py:117-118).  Strategy:
 
 - ``.wav``: decoded natively — C++ ``libmwx_audio`` when built, numpy
   fallback otherwise (PCM 8/16/24/32-bit int and float32/64).
-- other containers (m4a/mp3/flac/ogg..., reference README.md:90): shelled
-  out to ffmpeg when present, mirroring the reference's dependency on it;
-  a clear error otherwise.
+- ``.flac``: the repo's from-scratch C++ decoder (native/mwx_flac.cpp).
+- other containers (m4a/mp3/ogg/opus..., reference README.md:90): the
+  in-process C++ shim linking the system FFmpeg LIBRARIES
+  (native/mwx_ffdec.cpp — no subprocess, no temp files); the ffmpeg CLI
+  as fallback when present (mirroring the reference's dependency); a
+  clear zh-CN error when neither exists.
 """
 
 from __future__ import annotations
@@ -49,9 +52,9 @@ class UnsupportedFormatError(RuntimeError):
 
 def decodable_suffixes() -> tuple:
     """Audio suffixes this host can decode right now."""
-    if shutil.which("ffmpeg"):
+    from .native import get_ffdec, get_lib
+    if shutil.which("ffmpeg") or get_ffdec() is not None:
         return (".wav",) + FFMPEG_SUFFIXES
-    from .native import get_lib
     lib = get_lib()
     if lib is not None and hasattr(lib, "mwx_decode_flac"):
         return (".wav", ".flac")
@@ -217,6 +220,26 @@ def load_audio(path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
                     f"cannot decode {path.name}: the FLAC stream is "
                     f"malformed or unsupported ({exc}); re-export the "
                     "file (FLAC 文件已损坏或无法解析，请重新导出后再上传)"
+                ) from exc
+        if decoded is not None:
+            mono, sr = decoded
+            return _resample(mono, sr)
+
+    if path.suffix.lower() in FFMPEG_SUFFIXES:
+        # in-process compressed-container decode (native/mwx_ffdec.cpp
+        # linking the system FFmpeg libraries) — covers the reference's
+        # canonical .m4a input (transcribe.py:239) without a subprocess
+        from .native import native_decode_any
+        try:
+            decoded = native_decode_any(path.read_bytes())
+        except ValueError as exc:
+            if shutil.which("ffmpeg"):
+                decoded = None       # malformed stream: let the CLI try
+            else:
+                raise ValueError(
+                    f"cannot decode {path.name}: the stream is malformed "
+                    f"or unsupported ({exc}); re-export the file "
+                    "(音频文件已损坏或无法解析，请重新导出后再上传)"
                 ) from exc
         if decoded is not None:
             mono, sr = decoded

@@ -112,6 +112,106 @@ def native_decode_flac(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
     return arr, int(sr.value)
 
 
+_ffdec = None
+_ffdec_attempted = False
+_FFDEC_PATH = _LIB_DIR / "libmwx_ffdec.so"
+
+
+def get_ffdec():
+    """Load the compressed-container decoder (libmwx_ffdec.so), or None.
+
+    Separate from libmwx_audio so the dependency-free WAV/FLAC frontend
+    never gains a link-time FFmpeg requirement; this .so exists only on
+    hosts with the libav* libraries (native/Makefile builds it
+    best-effort)."""
+    global _ffdec, _ffdec_attempted
+    with _lib_lock:
+        if _ffdec is not None:
+            return _ffdec
+        if _ffdec_attempted:
+            return None
+        _ffdec_attempted = True
+        stale = _FFDEC_PATH.exists() and \
+            (_LIB_DIR / "mwx_ffdec.cpp").exists() and \
+            (_LIB_DIR / "mwx_ffdec.cpp").stat().st_mtime \
+            > _FFDEC_PATH.stat().st_mtime
+        if not _FFDEC_PATH.exists() or stale:
+            try:
+                subprocess.run(["make", "-C", str(_LIB_DIR), "ffdec"],
+                               capture_output=True, timeout=120)
+            except Exception:
+                pass
+        if not _FFDEC_PATH.exists():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_FFDEC_PATH))
+        except OSError:
+            return None
+        lib.mwx_decode_any.restype = ctypes.c_int
+        lib.mwx_decode_any.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mwx_encode_fixture.restype = ctypes.c_int
+        lib.mwx_encode_fixture.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.mwx_ffdec_free.restype = None
+        lib.mwx_ffdec_free.argtypes = [ctypes.c_void_p]
+        _ffdec = lib
+        return _ffdec
+
+
+def native_decode_any(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode any compressed container (m4a/mp3/ogg/...) -> (mono float32,
+    sample_rate); None when the ffdec lib is unavailable; raises
+    ValueError on undecodable bytes."""
+    lib = get_ffdec()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    out_len = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    rc = lib.mwx_decode_any(data, len(data), ctypes.byref(out),
+                            ctypes.byref(out_len), ctypes.byref(sr))
+    if rc != 0:
+        raise ValueError(f"mwx_decode_any failed with code {rc}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    finally:
+        lib.mwx_ffdec_free(out)
+    return arr, int(sr.value)
+
+
+def native_encode_fixture(pcm: np.ndarray, sr: int, format_name: str,
+                          codec_name: str = "") -> Optional[bytes]:
+    """Encode mono float32 PCM into a compressed container (TEST fixture
+    maker — mp3/ipod(m4a)/ogg); None when the ffdec lib is unavailable."""
+    lib = get_ffdec()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(pcm, dtype=np.float32)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_uint64()
+    rc = lib.mwx_encode_fixture(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pcm.size, sr,
+        format_name.encode(), codec_name.encode(),
+        ctypes.byref(out), ctypes.byref(out_len))
+    if rc != 0:
+        raise ValueError(f"mwx_encode_fixture({format_name!r}) failed "
+                         f"with code {rc}")
+    try:
+        data = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.mwx_ffdec_free(out)
+    return data
+
+
 def native_resample(audio: np.ndarray, sr_in: int, sr_out: int
                     ) -> Optional[np.ndarray]:
     """Resample via the native library, or None if no lib."""

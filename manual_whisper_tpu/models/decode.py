@@ -48,6 +48,10 @@ class DecodingOptions:
     fused_attention: bool = False  # Pallas decode-step attention (TPU)
     suppress_blank: bool = True
     suppress_non_speech: bool = True
+    # extra token ids to suppress at every step (faster-whisper's
+    # suppress_tokens asr_option; also how bench.py pins the synthetic
+    # model to a full token budget by suppressing EOT)
+    suppress_tokens: Optional[Tuple[int, ...]] = None
     without_timestamps: bool = True
     compression_ratio_threshold: Optional[float] = 2.4
     log_prob_threshold: Optional[float] = -1.0
@@ -66,6 +70,7 @@ def build_suppress_mask(tokenizer: WhisperTokenizer, cfg: WhisperConfig,
     suppress.add(sp.transcribe)
     if opts.suppress_non_speech:
         suppress.update(tokenizer.non_speech_tokens())
+    suppress.update(opts.suppress_tokens or ())
     suppress.add(sp.no_timestamps)   # never a valid generation
     if opts.without_timestamps:
         mask[sp.timestamp_begin:] = -np.inf

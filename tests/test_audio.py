@@ -124,3 +124,82 @@ def test_json_twin_path_uses_suffix(tmp_path):
                                   1.0, 1.0, quiet=True)
     assert json_file == str(tmp_path / "v1.mdx_rec_transcript.json")
     assert out.exists() and (tmp_path / "v1.mdx_rec_transcript.json").exists()
+
+
+# ---------------------------------------------------------------------------
+# Compressed-container decode (native/mwx_ffdec.cpp linking the system
+# FFmpeg libraries — the reference's m4a/mp3/ogg surface, README.md:90,
+# canonical .m4a input transcribe.py:239)
+# ---------------------------------------------------------------------------
+
+from pathlib import Path
+
+from manual_whisper_tpu.audio.native import (get_ffdec, native_decode_any,
+                                             native_encode_fixture)
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+ffdec_only = pytest.mark.skipif(
+    get_ffdec() is None, reason="libmwx_ffdec not built (no FFmpeg libs)")
+
+
+@ffdec_only
+@pytest.mark.parametrize("ext", ["mp3", "m4a"])
+def test_compressed_fixture_decodes_to_golden(ext, tmp_path):
+    """Committed .mp3/.m4a fixtures decode through load_audio and match
+    the committed PCM golden (decoder stability) AND the original tone
+    (codec fidelity, SNR-gated since the codecs are lossy)."""
+    src = np.load(FIXTURES / "tone_source.npy")
+    golden = np.load(FIXTURES / f"tone_{ext}_golden.npy")
+    path = tmp_path / f"tone.{ext}"
+    path.write_bytes((FIXTURES / f"tone.{ext}").read_bytes())
+
+    audio = load_audio(path)
+    assert audio.dtype == np.float32
+    n = min(len(audio), len(golden))
+    # same-lib decode is deterministic; the loose tolerance only allows
+    # for minor FFmpeg point-release drift
+    np.testing.assert_allclose(audio[:n], golden[:n], atol=2e-3)
+    n = min(len(audio), len(src))
+    snr = 10 * np.log10(float(np.sum(src[:n] ** 2))
+                        / max(float(np.sum((audio[:n] - src[:n]) ** 2)),
+                              1e-12))
+    assert snr > 18.0, f"{ext} SNR {snr:.1f} dB vs source tone"
+
+
+@ffdec_only
+@pytest.mark.parametrize("fmt,codec,ext", [
+    ("mp3", "libmp3lame", "mp3"),
+    ("ipod", "aac", "m4a"),
+    ("ogg", "libvorbis", "ogg"),
+])
+def test_compressed_roundtrip_in_process(fmt, codec, ext, tmp_path):
+    """encode_fixture -> load_audio round trip, fully in-process (no
+    ffmpeg CLI): frequency and duration survive the codec."""
+    sr = 16000
+    tone = sine(220, sr, seconds=1.5, amp=0.4)
+    data = native_encode_fixture(tone, sr, fmt, codec)
+    path = tmp_path / f"t.{ext}"
+    path.write_bytes(data)
+    audio = load_audio(path)
+    assert abs(len(audio) - len(tone)) < sr // 4   # codec padding only
+    # dominant frequency check via zero crossings of the mid section
+    mid = audio[len(audio) // 4: 3 * len(audio) // 4]
+    crossings = int(np.sum(np.abs(np.diff(np.signbit(mid)))))
+    freq = crossings * SAMPLE_RATE / (2 * len(mid))
+    assert 200 < freq < 240, f"dominant freq {freq:.0f} Hz"
+
+
+@ffdec_only
+def test_compressed_garbage_raises_actionable_error(tmp_path):
+    path = tmp_path / "bad.mp3"
+    path.write_bytes(b"\x00\x01garbage that is not audio" * 40)
+    with pytest.raises(ValueError, match="malformed|unsupported"):
+        load_audio(path)
+
+
+@ffdec_only
+def test_decodable_suffixes_include_compressed():
+    from manual_whisper_tpu.audio.io import decodable_suffixes
+    sufs = decodable_suffixes()
+    assert ".mp3" in sufs and ".m4a" in sufs and ".ogg" in sufs

@@ -145,6 +145,20 @@ def test_fallback_retries_pad_to_bucket(setup, monkeypatch):
     assert results[3].temperature == 0.0  # passing row untouched
 
 
+def test_suppress_tokens_extra_ids(setup):
+    """suppress_tokens (faster-whisper asr_option parity) bans arbitrary
+    ids; suppressing EOT forces the full token budget (bench contract)."""
+    params, cfg, tk, xa = setup
+    dec = _decoder(params, cfg, tk,
+                   suppress_tokens=(tk.special.eot,))
+    for r in dec.decode(xa):
+        assert len(r.tokens) == 8          # ran the whole budget
+    banned_id = 7
+    dec2 = _decoder(params, cfg, tk, suppress_tokens=(banned_id,))
+    for r in dec2.decode(xa):
+        assert banned_id not in r.tokens
+
+
 def test_no_speech_gate():
     opts = DecodingOptions(no_speech_threshold=0.6, log_prob_threshold=-1.0)
     dec = object.__new__(BatchDecoder)

@@ -501,13 +501,20 @@ def test_job_state_persistence(tmp_path):
     assert "restarted" in interrupted.error
 
 
-def test_m4a_upload_rejected_without_ffmpeg(server, monkeypatch):
+def test_m4a_upload_rejected_without_any_decoder(server, monkeypatch):
     """An undecodable container is rejected at upload time with an
     actionable zh-CN message, not a job-time stack (VERDICT r2 #8).
-    The reference's own default input is an .m4a (transcribe.py:239)."""
+    The reference's own default input is an .m4a (transcribe.py:239).
+    Requires BOTH decode paths absent: the ffmpeg CLI and the in-process
+    ffdec shim (hosts with either accept the upload)."""
     import shutil as _shutil
+
+    from manual_whisper_tpu.audio import io as audio_io
+    from manual_whisper_tpu.audio import native as audio_native
     srv, backend, base = server
     monkeypatch.setattr(_shutil, "which", lambda name: None)
+    monkeypatch.setattr(audio_native, "get_ffdec", lambda: None)
+    monkeypatch.setattr(audio_io.shutil, "which", lambda name: None)
     status, out = _req("POST", f"{base}/api/upload", data=b"\x00" * 64,
                        headers={"x-file-name": "meeting.m4a"})
     assert status == 415

@@ -40,6 +40,22 @@ def build_asan_lib() -> Path:
     return out
 
 
+def build_asan_ffdec() -> Path:
+    """Sanitizer build of the compressed-container shim.  The FFmpeg
+    libraries themselves stay un-instrumented (system builds); ASan/UBSan
+    still covers our demux/decode/resample glue — the code that handles
+    the untrusted length/pointer plumbing."""
+    out = Path(tempfile.gettempdir()) / "libmwx_ffdec_asan.so"
+    src = REPO / "manual_whisper_tpu" / "native"
+    subprocess.run(
+        ["g++", "-O1", "-g", "-fsanitize=address,undefined", "-fPIC",
+         "-std=c++17", "-shared", "-o", str(out),
+         str(src / "mwx_ffdec.cpp"),
+         "-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
+        check=True)
+    return out
+
+
 def main() -> int:
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     lib = ctypes.CDLL(str(build_asan_lib()))
@@ -52,7 +68,7 @@ def main() -> int:
     lib.mwx_free.restype = None
     lib.mwx_free.argtypes = [ctypes.c_void_p]
 
-    def call(decode, data: bytes) -> int:
+    def call(decode, data: bytes, free=None) -> int:
         out = ctypes.POINTER(ctypes.c_float)()
         n = ctypes.c_int64()
         sr = ctypes.c_int32()
@@ -62,8 +78,26 @@ def main() -> int:
             assert 0 <= n.value <= 500_000_000
             if n.value:
                 np.ctypeslib.as_array(out, shape=(min(n.value, 4),)).copy()
-            lib.mwx_free(out)
+            (free or lib.mwx_free)(out)
         return rc
+
+    # compressed-container shim (best-effort: needs the FFmpeg dev libs)
+    decode_any = None
+    try:
+        ffdec = ctypes.CDLL(str(build_asan_ffdec()))
+        ffdec.mwx_decode_any.restype = ctypes.c_int
+        ffdec.mwx_decode_any.argtypes = lib.mwx_decode_flac.argtypes
+        ffdec.mwx_ffdec_free.restype = None
+        ffdec.mwx_ffdec_free.argtypes = [ctypes.c_void_p]
+        ffdec.mwx_encode_fixture.restype = ctypes.c_int
+        ffdec.mwx_encode_fixture.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_uint64)]
+        decode_any = ffdec.mwx_decode_any
+    except Exception as exc:  # noqa: BLE001
+        print(f"ffdec shim skipped: {exc}", file=sys.stderr)
 
     from manual_whisper_tpu.audio import write_wav
     from manual_whisper_tpu.audio.flacenc import encode_flac
@@ -83,6 +117,11 @@ def main() -> int:
             p = Path(td) / f"{sr_hz}.wav"
             write_wav(p, x, sr_hz)
             seeds.append((lib.mwx_decode_wav, p.read_bytes()))
+    if decode_any is not None:
+        for name in ("tone.mp3", "tone.m4a"):
+            fx = REPO / "tests" / "fixtures" / name
+            if fx.exists():
+                seeds.append((decode_any, fx.read_bytes()))
 
     ok = err = 0
     for i in range(n_cases):
@@ -104,7 +143,10 @@ def main() -> int:
             a = int(rng.integers(0, len(s)))
             b = int(rng.integers(a, len(s)))
             s = s[:a] + s[a:b] * 2 + s[b:]
-        rc = call(decode, bytes(s))
+        rc = call(decode, bytes(s),
+                  free=(ffdec.mwx_ffdec_free
+                        if decode_any is not None and decode is decode_any
+                        else None))
         ok += rc == 0
         err += rc != 0
         if i % 1000 == 0:
