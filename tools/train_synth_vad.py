@@ -82,12 +82,29 @@ def main() -> int:
 
     def frame_labels(speaker_spans, offset: float) -> np.ndarray:
         """speaker_spans: {spk_idx: [(s, e), ...]} in file time; frames of
-        the window starting at `offset` -> powerset class ids."""
+        the window starting at `offset` -> powerset class ids.
+
+        Speakers map to the model's 3 local slots PER WINDOW, by first
+        activity inside the window (pyannote's local-speaker semantics) —
+        a file-global mapping capped 4-speaker conversations at slot
+        index 3 and crashed; per-window, any number of file speakers fits
+        as long as <=3 are active in one window (the >3 tail, if ever,
+        keeps the 3 most active)."""
+        raw = np.zeros((n_frames, len(speaker_spans)), bool)
+        order = sorted(speaker_spans)
+        for col, spk in enumerate(order):
+            for s, e in speaker_spans[spk]:
+                raw[:, col] |= ((frame_t + offset >= s)
+                                & (frame_t + offset < e))
+        active_cols = [c for c in range(raw.shape[1]) if raw[:, c].any()]
+        active_cols.sort(key=lambda c: int(np.argmax(raw[:, c])))
+        if len(active_cols) > 3:
+            active_cols.sort(key=lambda c: -int(raw[:, c].sum()))
+            active_cols = active_cols[:3]
+            active_cols.sort(key=lambda c: int(np.argmax(raw[:, c])))
         active = np.zeros((n_frames, 3), bool)
-        for spk, spans in speaker_spans.items():
-            for s, e in spans:
-                active[:, spk] |= ((frame_t + offset >= s)
-                                   & (frame_t + offset < e))
+        for local, col in enumerate(active_cols):
+            active[:, local] = raw[:, col]
         out = np.zeros(n_frames, np.int32)
         for f in range(n_frames):
             spks = tuple(np.nonzero(active[f])[0][:2])
@@ -107,9 +124,13 @@ def main() -> int:
             # so rare that the trained model suppressed the quieter
             # speaker mid-overlap (diarization missed ~1 s overlaps even
             # though it detected their onsets)
+            # 2-4 speakers: the eval's 4-speaker register (6.3 kHz ring
+            # carrier) must be in-distribution — trained on 2-3-speaker
+            # conversations only, the model treated the 4th voice as
+            # non-speech and diarization MISSED that speaker entirely
             audio, turns = render_conversation(
                 n_turns=8, seed=args.seed * 7919 + i,
-                n_speakers=2 + (i // 2) % 2,
+                n_speakers=2 + (i // 2) % 3,
                 overlap_prob=(0.5, 0.25, 0.0, 0.35)[i % 4])
             # window-local speaker index = order of appearance
             spans = {}

@@ -44,6 +44,8 @@ const STRINGS = {
         copied: "已复制",
         quality_title: "质量报告",
         coverage: "语音覆盖率",
+        quality_title: "质量报告",
+        meta_segments: "段",
         new_task: "转写新文件",
         error_too_large: "文件超过 100MB 上限",
         error_empty: "文件为空",
@@ -89,6 +91,8 @@ const STRINGS = {
         copied: "Copied",
         quality_title: "Quality report",
         coverage: "Speech coverage",
+        quality_title: "Quality report",
+        meta_segments: "segments",
         new_task: "Transcribe another file",
         error_too_large: "File exceeds the 100MB limit",
         error_empty: "File is empty",

@@ -389,14 +389,25 @@ function finishProcess(final) {
 
     $("transcript-view").textContent = state.result.markdown || "";
 
+    // sidebar meta line: source name, segment count, detected language
+    const segs = final.output?.json?.segments || final.output?.segments || [];
+    const lang = final.output?.json?.language || final.output?.language || "";
+    const metaParts = [];
+    if (state.file?.name) metaParts.push(state.file.name);
+    if (segs.length) metaParts.push(`${segs.length} ${t("meta_segments")}`);
+    if (lang) metaParts.push(lang);
+    $("result-meta").textContent = metaParts.join(" · ");
+
     const quality = final.output?.json?.quality_report;
     const qualityBox = $("quality-box");
     if (quality) {
         const coverage = Math.round((quality.coverage_ratio || 0) * 1000) / 10;
         const lines = [`${t("coverage")}: ${coverage}%`];
         for (const warning of quality.warnings || []) lines.push(`⚠️ ${warning}`);
-        qualityBox.textContent = lines.join("\n");
+        $("quality-lines").textContent = lines.join("\n");
         qualityBox.hidden = false;
+        qualityBox.classList.toggle("has-warnings",
+            (quality.warnings || []).length > 0);
     } else {
         qualityBox.hidden = true;
     }
@@ -464,6 +475,8 @@ function showSection(name) {
     $("section-input").hidden = name !== "input";
     $("section-progress").hidden = name !== "progress";
     $("section-result").hidden = name !== "result";
+    // the result view spreads transcript + sidebar across the wide layout
+    document.body.classList.toggle("result-wide", name === "result");
 }
 
 function showError(message) {
