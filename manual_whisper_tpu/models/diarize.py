@@ -347,8 +347,78 @@ def agglomerative_cluster(embeddings: np.ndarray,
     return _stable_labels(labels)
 
 
+def constrained_agglomerative_cluster(embeddings: np.ndarray,
+                                      groups: np.ndarray,
+                                      threshold: float = 0.7,
+                                      min_speakers: int = 1,
+                                      max_speakers: Optional[int] = None
+                                      ) -> np.ndarray:
+    """Average-linkage cosine AHC with CANNOT-LINK constraints: two
+    entries sharing a ``groups`` id never merge into one cluster.
+
+    pyannote-3.1's clustering applies the same rule: distinct local
+    speakers of one segmentation window are, by construction, different
+    people — an unconstrained merge of two such embeddings is the single
+    biggest source of under-clustering (measured here: the 4-speaker
+    eval's closest voice pair merged on 1 of 4 files, zeroing one
+    speaker's accuracy and double-claiming frames downstream).
+
+    Vectorised Lance-Williams merge loop: O(n^2) memory, argmin over the
+    full matrix per merge (n sliding-window entries for an hour of audio
+    is ~2-3k, a few seconds of numpy; scipy's linkage cannot express
+    constraints)."""
+    n = len(embeddings)
+    if n <= 1:
+        return np.zeros(n, np.int64)
+    max_speakers = max_speakers or n
+    d = np.clip(1.0 - embeddings @ embeddings.T, 0.0, None
+                ).astype(np.float64)
+    cannot = np.asarray(groups)[:, None] == np.asarray(groups)[None, :]
+    np.fill_diagonal(d, np.inf)
+    np.fill_diagonal(cannot, False)
+    dw = np.where(cannot, np.inf, d)
+    size = np.ones(n)
+    merged_into = np.arange(n)      # union-find, path-free (small n)
+    n_active = n
+    while n_active > min_speakers:
+        flat = int(np.argmin(dw))
+        i, j = divmod(flat, n)
+        d_min = dw[i, j]
+        if not np.isfinite(d_min):
+            # every remaining pair cannot-link.  A user-supplied
+            # max_speakers cap still wins over the heuristic constraint
+            # (segmentation can hallucinate a second local speaker in a
+            # window): keep merging by RAW distance until the cap holds.
+            if n_active <= max_speakers:
+                break
+            flat = int(np.argmin(d))
+            i, j = divmod(flat, n)
+            d_min = d[i, j]
+            if not np.isfinite(d_min):
+                break
+        elif d_min > threshold and n_active <= max_speakers:
+            break
+        if j < i:
+            i, j = j, i
+        # average linkage (Lance-Williams): d(i+j, c)
+        new_row = (size[i] * d[i] + size[j] * d[j]) / (size[i] + size[j])
+        d[i], d[:, i] = new_row, new_row
+        cannot[i] |= cannot[j]
+        cannot[:, i] |= cannot[:, j]
+        d[i, i] = np.inf
+        dw[i] = np.where(cannot[i], np.inf, d[i])
+        dw[:, i] = dw[i]
+        d[j], d[:, j] = np.inf, np.inf
+        dw[j], dw[:, j] = np.inf, np.inf
+        size[i] += size[j]
+        merged_into[merged_into == j] = i
+        n_active -= 1
+    return _stable_labels(merged_into)
+
+
 def _absorb_small_clusters(labels: np.ndarray, embeddings: np.ndarray,
-                           min_size: int = 2, floor: int = 1) -> np.ndarray:
+                           min_size: int = 2, floor: int = 1,
+                           groups: Optional[np.ndarray] = None) -> np.ndarray:
     """Reassign clusters with fewer than ``min_size`` members to the
     nearest (cosine, centroid) surviving cluster — pyannote-3.1's
     min_cluster_size rule.  Residual mixture embeddings (overlap frames
@@ -375,7 +445,18 @@ def _absorb_small_clusters(labels: np.ndarray, embeddings: np.ndarray,
         members = labels == g
         e = embeddings[members].mean(axis=0)
         e = e / max(float(np.linalg.norm(e)), 1e-8)
-        nearest = max(centroids, key=lambda k: float(e @ centroids[k]))
+        # cannot-link (same segmentation window as a member): absorbing
+        # into such a cluster would put two simultaneous local speakers
+        # under one label; fall back over the remaining candidates
+        allowed = list(centroids)
+        if groups is not None:
+            member_groups = set(np.asarray(groups)[members].tolist())
+            ok = [k for k in centroids
+                  if not (member_groups
+                          & set(np.asarray(groups)[labels == k].tolist()))]
+            if ok:
+                allowed = ok
+        nearest = max(allowed, key=lambda k: float(e @ centroids[k]))
         out[members] = nearest
     return _stable_labels(out)
 
@@ -449,7 +530,10 @@ class DiarizationPipeline:
                  step_sec: float = 1.5,
                  seg_step_sec: Optional[float] = None,
                  threshold: float = 0.7,
-                 min_cluster_size: int = 2):
+                 min_cluster_size: int = 2,
+                 activity_onset: float = 0.5,
+                 activity_offset: float = 0.35,
+                 powerset_decode: str = "argmax"):
         from .vad import PyanNetConfig, load_segmentation_params
         if segmentation_params is None:
             try:
@@ -489,6 +573,16 @@ class DiarizationPipeline:
         # clusters smaller than this reassign to the nearest big cluster
         # (_absorb_small_clusters); pyannote-3.1's min_cluster_size rule
         self.min_cluster_size = min_cluster_size
+        # binarisation of the stitched per-global-speaker activities;
+        # calibration knobs for the trained segmentation model (its
+        # class-weighted training deliberately over-weights overlap
+        # classes, which shifts raw probabilities upward)
+        self.activity_onset = activity_onset
+        self.activity_offset = activity_offset
+        # "argmax" = pyannote's Powerset.to_multilabel hard decode;
+        # "marginal" sums class probs per speaker (softer, but inflates
+        # overlap for class-weight-trained checkpoints)
+        self.powerset_decode = powerset_decode
 
     # _embed pads clips to this ladder (seconds): embed_forward jits per
     # mel length, and the masked active-speaker clips have near-unique
@@ -588,9 +682,22 @@ class DiarizationPipeline:
         an embedding over its active samples; clustering maps local
         speakers to global labels; frame-level activities are stitched
         across windows and re-binarised per global speaker (supports
-        overlapping speech)."""
-        from .vad import (powerset_to_speaker_probs,
-                          pyannet_forward_chunked, binarize, VadOptions)
+        overlapping speech).
+
+        Split into `_segment_and_embed` (PyanNet forwards + ResNet
+        embeddings — the expensive device work) and `_cluster_and_stitch`
+        (cheap host-side clustering/binarisation) so calibration sweeps
+        re-cluster cached embeddings instead of re-running the models."""
+        state = self._segment_and_embed(audio)
+        if state is None:
+            return []
+        return self._cluster_and_stitch(state, len(audio),
+                                        min_speakers, max_speakers)
+
+    def _segment_and_embed(self, audio: np.ndarray):
+        from .vad import (powerset_to_speaker_activity,
+                          powerset_to_speaker_probs,
+                          pyannet_forward_chunked)
 
         seg_cfg = self.vad.cfg
         window = int(seg_cfg.window_sec * SAMPLE_RATE)
@@ -605,7 +712,9 @@ class DiarizationPipeline:
             batch[i, : len(clip)] = clip
 
         log_probs = pyannet_forward_chunked(self.vad.params, batch, seg_cfg)
-        spk = powerset_to_speaker_probs(log_probs)              # [W,F,3]
+        spk = (powerset_to_speaker_activity(log_probs)
+               if self.powerset_decode == "argmax"
+               else powerset_to_speaker_probs(log_probs))       # [W,F,3]
         n_frames = spk.shape[1]
         frame_dur = seg_cfg.window_sec / n_frames
 
@@ -641,7 +750,7 @@ class DiarizationPipeline:
                 keys.append((wi, ls))
                 clips.append(active_audio)
         if not keys:
-            return []
+            return None
         entries = [(wi, ls, emb) for (wi, ls), emb in
                    zip(keys, self._embed_clips(clips))]
 
@@ -650,12 +759,28 @@ class DiarizationPipeline:
             embs = embs - embs.mean(axis=0, keepdims=True)
             embs = embs / np.clip(
                 np.linalg.norm(embs, axis=1, keepdims=True), 1e-8, None)
-        labels = agglomerative_cluster(
-            embs, threshold=self.threshold,
+        return {"entries": entries, "embs": embs, "spk": spk,
+                "starts": starts, "n_frames": n_frames,
+                "frame_dur": frame_dur}
+
+    def _cluster_and_stitch(self, state: dict, n_samples: int,
+                            min_speakers: Optional[int],
+                            max_speakers: Optional[int]) -> List[dict]:
+        from .vad import binarize, VadOptions
+        entries, embs = state["entries"], state["embs"]
+        spk, starts = state["spk"], state["starts"]
+        n_frames, frame_dur = state["n_frames"], state["frame_dur"]
+        n = n_samples
+        # cannot-link groups: entries from the same segmentation window
+        # are distinct local speakers, hence distinct people
+        groups = np.asarray([wi for wi, _, _ in entries])
+        labels = constrained_agglomerative_cluster(
+            embs, groups, threshold=self.threshold,
             min_speakers=min_speakers or 1, max_speakers=max_speakers)
         labels = _absorb_small_clusters(labels, embs,
                                         min_size=self.min_cluster_size,
-                                        floor=min_speakers or 1)
+                                        floor=min_speakers or 1,
+                                        groups=groups)
 
         # stitch: accumulate global speaker activity on an absolute frame
         # grid (average across overlapping windows)
@@ -674,7 +799,8 @@ class DiarizationPipeline:
         duration = n / SAMPLE_RATE
         for g in range(n_global):
             for s, e in binarize(activity[g].astype(np.float32), frame_dur,
-                                 VadOptions(vad_onset=0.5, vad_offset=0.35,
+                                 VadOptions(vad_onset=self.activity_onset,
+                                            vad_offset=self.activity_offset,
                                             min_duration_on=0.3,
                                             min_duration_off=0.3)):
                 segments.append({"start": round(max(0.0, s), 3),

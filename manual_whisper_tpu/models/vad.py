@@ -274,6 +274,23 @@ def powerset_to_speaker_probs(log_probs: np.ndarray) -> np.ndarray:
     return np.clip(out, 0.0, 1.0)
 
 
+def powerset_to_speaker_activity(log_probs: np.ndarray) -> np.ndarray:
+    """[..., 7] -> binary per-speaker activity [..., 3] via ARGMAX.
+
+    pyannote-3.x's Powerset.to_multilabel: the winning class alone
+    decides which speakers are active.  Unlike the marginal sum
+    (powerset_to_speaker_probs), a frame claims two speakers only when a
+    two-speaker class outright wins — self-calibrating for models whose
+    class-weighted training inflates raw overlap probabilities
+    (train_synth_vad's inverse-sqrt weights; measured: marginal decode
+    produced 0.12-0.21 false alarm on 4-speaker overlap eval files)."""
+    cls = np.argmax(np.asarray(log_probs), axis=-1)
+    table = np.zeros((len(POWERSET_CLASSES), 3), np.float32)
+    for ci, spks in enumerate(POWERSET_CLASSES):
+        table[ci, list(spks)] = 1.0
+    return table[cls]
+
+
 PYANNET_CHUNK = 16  # windows per device dispatch (the main compiled shape)
 # Small-row bucket for short inputs: a 30 s file has 4 windows, and padding
 # them to 16 made the (host-CPU) BiLSTM 4x more expensive than the audio

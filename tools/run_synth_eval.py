@@ -125,7 +125,10 @@ def main() -> int:
 
     # -- WER/CER over held-out multi-utterance files, per SNR ----------------
     rng = np.random.default_rng(args.seed)
-    snr_sweep = {"clean": None, "snr10": 10.0, "snr0": 0.0}
+    # snr5 (r4): clean saturates at 0 and snr0 saturates near 1 (filler
+    # loops), so r3's sweep had exactly one informative cell (snr10);
+    # an intermediate condition gives future deltas a second one
+    snr_sweep = {"clean": None, "snr10": 10.0, "snr5": 5.0, "snr0": 0.0}
     by_snr = {}
     rows = []
     total_audio = total_wall = 0.0
