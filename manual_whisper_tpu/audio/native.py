@@ -114,10 +114,27 @@ def native_decode_flac(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
 
 _ffdec = None
 _ffdec_attempted = False
+_ffdec_lock = threading.Lock()   # NOT _lib_lock: an ffdec `make` must not
+#                                  block concurrent WAV/FLAC decodes
 _FFDEC_PATH = _LIB_DIR / "libmwx_ffdec.so"
+# Lazy-path build cap: the first get_ffdec() on a host without a prebuilt
+# .so can sit on a serving request (upload validation consults
+# decodable_suffixes()); keep that stall short and do the full-length
+# build at startup via warm_native_libs() instead.
+_LAZY_BUILD_TIMEOUT = 20.0
 
 
-def get_ffdec():
+def warm_native_libs() -> None:
+    """Build+load both native libraries with the full build budget.
+
+    Call at process startup (server serve(), CLI entry) so the first
+    request never pays a C++ compile; after this, request-path calls are
+    a cached-pointer return or at most a dlopen."""
+    get_lib()
+    get_ffdec(build_timeout=120.0)
+
+
+def get_ffdec(build_timeout: float = _LAZY_BUILD_TIMEOUT):
     """Load the compressed-container decoder (libmwx_ffdec.so), or None.
 
     Separate from libmwx_audio so the dependency-free WAV/FLAC frontend
@@ -125,7 +142,7 @@ def get_ffdec():
     hosts with the libav* libraries (native/Makefile builds it
     best-effort)."""
     global _ffdec, _ffdec_attempted
-    with _lib_lock:
+    with _ffdec_lock:
         if _ffdec is not None:
             return _ffdec
         if _ffdec_attempted:
@@ -138,7 +155,7 @@ def get_ffdec():
         if not _FFDEC_PATH.exists() or stale:
             try:
                 subprocess.run(["make", "-C", str(_LIB_DIR), "ffdec"],
-                               capture_output=True, timeout=120)
+                               capture_output=True, timeout=build_timeout)
             except Exception:
                 pass
         if not _FFDEC_PATH.exists():

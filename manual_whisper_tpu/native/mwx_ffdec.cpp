@@ -70,7 +70,13 @@ struct DecodeCtx {
     SwrContext* swr = nullptr;
     AVPacket* pkt = nullptr;
     AVFrame* frame = nullptr;
+    // the input shape swr was initialized with (frames may diverge
+    // mid-stream in Ogg/Matroska; swr must be rebuilt on mismatch)
+    AVChannelLayout swr_in_layout{};
+    int swr_in_fmt = AV_SAMPLE_FMT_NONE;
+    int swr_in_rate = 0;
     ~DecodeCtx() {
+        av_channel_layout_uninit(&swr_in_layout);
         if (pkt) av_packet_free(&pkt);
         if (frame) av_frame_free(&frame);
         if (swr) swr_free(&swr);
@@ -89,13 +95,42 @@ int drain_frames(DecodeCtx& c, std::vector<float>& out) {
         int rc = avcodec_receive_frame(c.dec, c.frame);
         if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
         if (rc < 0) return rc;
+        // Mid-stream layout/format changes are legal in Ogg/Matroska;
+        // feeding swr a frame shaped differently from its configured
+        // input makes it read the wrong number of planes.  Rebuild swr
+        // on mismatch (output stays mono f32 at the decoder rate).
+        if (av_channel_layout_compare(&c.frame->ch_layout,
+                                      &c.swr_in_layout) != 0
+            || c.frame->format != c.swr_in_fmt
+            || c.frame->sample_rate != c.swr_in_rate) {
+            AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+            swr_free(&c.swr);
+            if (swr_alloc_set_opts2(&c.swr, &mono, AV_SAMPLE_FMT_FLT,
+                                    c.dec->sample_rate, &c.frame->ch_layout,
+                                    static_cast<AVSampleFormat>(
+                                        c.frame->format),
+                                    c.frame->sample_rate, 0, nullptr) < 0
+                || swr_init(c.swr) < 0)
+                return AVERROR(EINVAL);
+            if (av_channel_layout_copy(&c.swr_in_layout,
+                                       &c.frame->ch_layout) < 0)
+                return AVERROR(ENOMEM);
+            c.swr_in_fmt = c.frame->format;
+            c.swr_in_rate = c.frame->sample_rate;
+        }
         int max_out = swr_get_out_samples(c.swr, c.frame->nb_samples);
         if (max_out < c.frame->nb_samples) max_out = c.frame->nb_samples + 256;
         size_t base = out.size();
         out.resize(base + max_out);
         uint8_t* dst = reinterpret_cast<uint8_t*>(out.data() + base);
+        // extended_data, NOT data: for planar audio with >8 channels
+        // (e.g. multichannel Opus, up to 255 ch) data[] holds only the
+        // first 8 plane pointers — passing it lets swr read past the
+        // array and dereference garbage (remote crash on untrusted
+        // uploads).  extended_data aliases data for <=8 channels.
         int got = swr_convert(c.swr, &dst, max_out,
-                              const_cast<const uint8_t**>(c.frame->data),
+                              const_cast<const uint8_t**>(
+                                  c.frame->extended_data),
                               c.frame->nb_samples);
         if (got < 0) return got;
         out.resize(base + got);
@@ -153,6 +188,10 @@ extern "C" int mwx_decode_any(const uint8_t* data, uint64_t len,
                             c.dec->sample_fmt, c.dec->sample_rate,
                             0, nullptr) < 0 || swr_init(c.swr) < 0)
         return -6;
+    if (av_channel_layout_copy(&c.swr_in_layout, &c.dec->ch_layout) < 0)
+        return -2;
+    c.swr_in_fmt = c.dec->sample_fmt;
+    c.swr_in_rate = c.dec->sample_rate;
 
     c.pkt = av_packet_alloc();
     c.frame = av_frame_alloc();

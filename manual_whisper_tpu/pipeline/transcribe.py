@@ -444,35 +444,45 @@ class TranscribePipeline:
         opts = vad_options or self.vad_options
         queue: List[SpeechChunk] = []
         emitted = 0
-        for probs, frame_dur, is_last in self.vad.iter_speech_probs(audio):
-            regions = [(max(0.0, s), min(duration, e))
-                       for s, e in binarize(probs, frame_dur, opts)]
-            if not is_last and regions:
-                # the last region may still extend or merge with speech in
-                # the next block; chunks touching it are not final yet
-                regions = regions[:-1]
-            chunks_all = merge_chunks(regions, chunk_size)
-            # greedy merging is prefix-stable over the (append-only)
-            # finalized regions, except its last chunk, which may absorb
-            # the next region
-            final = chunks_all if is_last else chunks_all[:-1]
-            queue.extend(final[emitted:])
-            emitted = len(final)
-            while len(queue) >= batch_size:
-                dispatch(queue[:batch_size])
-                queue = queue[batch_size:]
-        if queue:
-            dispatch(queue)
+        try:
+            for probs, frame_dur, is_last in self.vad.iter_speech_probs(
+                    audio):
+                regions = [(max(0.0, s), min(duration, e))
+                           for s, e in binarize(probs, frame_dur, opts)]
+                if not is_last and regions:
+                    # the last region may still extend or merge with speech
+                    # in the next block; chunks touching it aren't final yet
+                    regions = regions[:-1]
+                chunks_all = merge_chunks(regions, chunk_size)
+                # greedy merging is prefix-stable over the (append-only)
+                # finalized regions, except its last chunk, which may
+                # absorb the next region
+                final = chunks_all if is_last else chunks_all[:-1]
+                queue.extend(final[emitted:])
+                emitted = len(final)
+                while len(queue) >= batch_size:
+                    dispatch(queue[:batch_size])
+                    queue = queue[batch_size:]
+            if queue:
+                dispatch(queue)
+        finally:
+            # sentinel + join unconditionally: if dispatch raises (encode
+            # OOM, VAD error) after the worker started, a missing sentinel
+            # would park the daemon on inflight.get() forever, leaking a
+            # thread per failed job and pinning up to MAX_INFLIGHT
+            # device-resident encoder outputs in a long-lived server.  The
+            # worker drains-without-finalizing once worker_err is set, so
+            # the put cannot deadlock even on a full queue.
+            if worker is not None:
+                inflight.put(None)
+                worker.join()
 
         if n_dispatched == 0:
             report(100.0, "no speech detected")
             return {"segments": [], "language": lang or "zh"}
 
-        if worker is not None:
-            inflight.put(None)
-            worker.join()
-            if worker_err:
-                raise worker_err[0]
+        if worker_err:
+            raise worker_err[0]
         while pending:
             finalize_one(pending.pop(0))
         report(100.0, f"transcribed {n_done} batches "

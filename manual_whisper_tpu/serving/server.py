@@ -547,12 +547,16 @@ def serve(model_name: Optional[str] = None, host: str = "0.0.0.0",
         backend, host=host, port=port,
         web_dir=web_dir or (str(default_web) if default_web.exists()
                             else None))
-    # probe/build the native audio library NOW: on an ffmpeg-less host
-    # the upload handler consults decodable_suffixes(), whose first call
-    # may `make` the C++ decoders (up to ~2 min on a 1-core host) — that
-    # belongs at startup, not inside a client's upload request
+    # build+load the native audio libraries NOW with the full build
+    # budget: on an ffmpeg-less host the upload handler consults
+    # decodable_suffixes(), whose first call would otherwise `make` the
+    # C++ decoders (up to ~2 min on a 1-core host) — that belongs at
+    # startup, not inside a client's upload request (the lazy path keeps
+    # only a short build cap, audio/native.py _LAZY_BUILD_TIMEOUT)
     try:
         from ..audio.io import decodable_suffixes
+        from ..audio.native import warm_native_libs
+        warm_native_libs()
         print(f"decodable without ffmpeg: {decodable_suffixes()}")
     except Exception as exc:
         print(f"native audio probe failed (serving continues): {exc}")
