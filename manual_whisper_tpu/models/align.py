@@ -148,7 +148,20 @@ def ctc_viterbi_align(log_probs: np.ndarray, targets: List[int],
 # p>0.99, so no threshold on the label posterior can find the onset);
 # the cap keeps long true silences (which the anchor cannot distinguish
 # from emission delay) from being swallowed into the next word.
+#
+# The 0.08 s default was tuned where the synth eval's F1@80ms reaches
+# 1.00; real speech has longer onsets (slow attacks, coarticulation), so
+# the cap is an env knob (MWX_ALIGN_START_BACKOFF_SEC, .env.example) —
+# tests/test_align.py sweeps attack-ramp lengths to show both failure
+# directions: a too-small cap under-extends slow onsets, a too-large cap
+# swallows true inter-word silences.
 START_BACKOFF_SEC = 0.08
+
+
+def start_backoff_sec() -> float:
+    """The configured peaky-CTC start-anchor cap (seconds)."""
+    return config.get_float("MWX_ALIGN_START_BACKOFF_SEC",
+                            START_BACKOFF_SEC)
 
 
 def extend_span_starts(spans: List[Tuple[int, int, float]],
@@ -354,7 +367,7 @@ def align(segments: List[dict], model: AlignModel, audio: np.ndarray,
             # each start to the previous label's span end (bounded) —
             # inter-word '|' labels align into the gaps, so word starts
             # inherit the gap boundary instead of the delayed spike
-            spans = extend_span_starts(spans, fd)
+            spans = extend_span_starts(spans, fd, start_backoff_sec())
             char_times: List[Optional[Tuple[float, float, float]]] = \
                 [None] * len(text)
             for (f0, f1, score), ci in zip(spans, char_idx):

