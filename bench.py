@@ -22,9 +22,36 @@ The phase-split pass only runs when enough budget remains and is
 best-effort.  The VAD path actually measured is stated in the "vad" field
 (trained PyanNet pinned to host CPU by default — the on-chip BiLSTM
 compile stall was BENCH_r02's rc 124; see models/vad.py
-vad_compute_device).  No persistent compile cache here: the axon
-backend's cache deserialization measured slower than a cold compile
-(173 s vs 40 s).
+vad_compute_device).
+
+Degraded-tunnel ladder (VERDICT.md r4 #1 — BENCH_r04 died inside an
+in-process canary that never returned):
+  1. The canary (one tiny matmul) runs in a SUBPROCESS, observed by the
+     main process.  It is never killed while the bench continues — a
+     client killed mid-compile wedges the tunnel for every subsequent
+     compile in THIS process too (the r4 failure chain).  If it hasn't
+     returned by BENCH_CANARY_CAP_S (default 300 s) the tunnel is
+     hard-down for compiles: the bench emits an explicit diagnostic
+     artifact (canary_blocked_s, the probe result, the ladder steps
+     taken) and exits 0 — proof the ladder ran, not a bare zero.
+  2. A persistent XLA compile cache (BENCH_COMPILE_CACHE_DIR, default
+     .jax_bench_cache/) backs the DEGRADED tier only.  Measured on this
+     backend (r5): cache-hit warmup 336 s vs cold-compile warmup 108 s —
+     reads are a 3x loss on a healthy tunnel, consistent with the old
+     173 s-vs-40 s measurement, so healthy runs never read the cache.
+     They still REFRESH it: compiles land in a staging dir which is
+     promoted into the cache after the headline is emitted, so a future
+     wedged-compile run (r4's failure: compiles never return, dispatches
+     stay fast) can cache-hit its way to a real RTF instead of a zero.
+     The canary always runs cache-less so it measures true compile-path
+     health rather than a cache hit.
+  3. If the canary returns slow (> BENCH_DEGRADED_CANARY_S, default
+     30 s), the run degrades: compile-cache reads ON, repeats 3 -> 1,
+     phase-split only with ample budget, and — when the cache is empty,
+     so there are no same-shape entries to hit — BENCH_SECONDS
+     768 -> 192 for the cheapest-possible fresh compile.  With cache
+     entries present the audio length stays at the recorded 768 s
+     config so every program shape cache-hits.
 
 Extra keys separate compute throughput from host/link noise: the
 phase-split pass times encode and decode dispatches individually
@@ -122,6 +149,102 @@ def synth_speech(seconds: int, sr: int = 16000) -> np.ndarray:
 
 V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
 V5E_HBM_BW = 819e9      # TPU v5e HBM bandwidth (public spec)
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _cache_dir() -> str:
+    """Persistent XLA compile-cache dir ('' disables)."""
+    if os.environ.get("BENCH_COMPILE_CACHE", "1") != "1":
+        return ""
+    return os.environ.get("BENCH_COMPILE_CACHE_DIR",
+                          os.path.join(_REPO, ".jax_bench_cache"))
+
+
+def _enable_compile_cache(d: str) -> str:
+    """Point jax at a compile-cache dir.  Returns the dir.
+
+    Must run after `import jax` but before the first compile.  min
+    compile time 1 s: everything in the pipeline qualifies, while the
+    host-side CPU helpers stay uncached."""
+    if not d:
+        return ""
+    import jax
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return d
+
+
+def _promote_staging_cache(staging: str, cache_dir: str) -> int:
+    """Move freshly-written cache entries from the healthy run's staging
+    dir into the real cache (content-addressed filenames; an overwrite
+    is a same-key refresh).  Returns entries promoted."""
+    if not staging or not cache_dir or not os.path.isdir(staging):
+        return 0
+    os.makedirs(cache_dir, exist_ok=True)
+    n = 0
+    for name in os.listdir(staging):
+        try:
+            os.replace(os.path.join(staging, name),
+                       os.path.join(cache_dir, name))
+            n += 1
+        except OSError:
+            pass
+    try:
+        os.rmdir(staging)
+    except OSError:
+        pass
+    return n
+
+
+_CANARY_CODE = r"""
+import json, time
+t0 = time.time()
+import jax, jax.numpy as jnp
+import numpy as np
+x = jnp.ones((1024, 1024))
+np.asarray(jax.jit(lambda a: a @ a)(x))
+print(json.dumps({"canary_s": round(time.time() - t0, 1)}), flush=True)
+"""
+
+
+def _run_canary(cap_s: float):
+    """One tiny matmul compile+run in a fresh process, cache-less (it
+    must measure true compile-path health, not a cache hit).
+
+    Returns (canary_s, None) on success or (None, reason) when the child
+    had not returned by ``cap_s``.  A timed-out child is NEVER killed —
+    a client killed mid-compile wedges the tunnel's compile path for
+    every later client (the r4 failure chain); the orphan exits by
+    itself the moment its compile finally returns."""
+    import subprocess
+    proc = subprocess.Popen([sys.executable, "-c", _CANARY_CODE],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True,
+                            start_new_session=True)
+    t0 = time.time()
+    while time.time() - t0 < cap_s:
+        if proc.poll() is not None:
+            break
+        time.sleep(1.0)
+    if proc.poll() is None:
+        return None, (f"canary matmul still compiling after {cap_s:.0f}s "
+                      "in a fresh process — compile path hard-down "
+                      "(r4 failure mode); the canary child is left "
+                      "running (killing a mid-compile client deepens "
+                      "the wedge) and will exit on its own")
+    out, err = proc.communicate()
+    if proc.returncode != 0:
+        tail = (err or "").strip().splitlines()[-1:]
+        return None, (f"canary process failed (rc {proc.returncode}): "
+                      f"{' '.join(tail)}")
+    try:
+        return float(json.loads(out.strip().splitlines()[-1])
+                     ["canary_s"]), None
+    except Exception:
+        return None, f"canary emitted unparseable output: {out!r}"
 
 
 def _analytic_flops(cfg, n_windows: int, gen_tokens: int,
@@ -285,21 +408,92 @@ def main() -> int:
         })
         return 0
 
-    # canary: one tiny matmul compile+run.  Healthy tunnel ~2 s; a
-    # wedged backend (e.g. a previous client killed mid-compile) shows
-    # up here as 10-100x that, which the artifact then records so an
-    # off-baseline headline is attributable (see "canary_s" field).
+    # canary: one tiny matmul compile+run, in a SUBPROCESS (r4's died
+    # in-process and ate the whole budget).  Healthy tunnel ~2 s; a
+    # wedged compile path shows up as 10-100x that or never returns —
+    # the cap turns "never" into an explicit diagnostic artifact.
     _stage("canary")
-    import jax
-    import jax.numpy as jnp
-    t0 = time.time()
-    x = jnp.ones((1024, 1024))
-    np.asarray(jax.jit(lambda a: a @ a)(x))
-    canary_s = round(time.time() - t0, 1)
+    cache_dir = _cache_dir()
+    cache_entries = len(os.listdir(cache_dir)) \
+        if cache_dir and os.path.isdir(cache_dir) else 0
+    # with a hot cache the best response to ANY canary slowness is the
+    # cache path, and the rescue needs ~400 s of budget (loads measured
+    # ~112 s/program) — so the cap shrinks to 90 s; cache-less, the full
+    # 300 s distinguishes "very slow but alive" from hard-down
+    canary_cap = float(os.environ.get(
+        "BENCH_CANARY_CAP_S", "90" if cache_entries else "300"))
+    canary_cap = min(canary_cap, max(60.0, deadline - time.time() - 30.0))
+    canary_s, canary_err = _run_canary(canary_cap)
+    if canary_err is None and canary_s is not None \
+            and canary_s > 0.5 * canary_cap:
+        # one retry on a fresh process: a single slow canary can be a
+        # transient (relay restart, competing client exiting); the retry
+        # costs little compared to mis-tiering the whole run
+        retry_s, retry_err = _run_canary(
+            min(canary_cap, max(30.0, deadline - time.time() - 30.0)))
+        if retry_err is None and retry_s is not None:
+            canary_s = min(canary_s, retry_s)
+    cache_rescue = False
+    if canary_err is not None:
+        # last rung: with a hot cache, every program can LOAD instead of
+        # compile — r4's diagnosis was that dispatches stay fast while
+        # compiles wedge, so a 100% cache-hit run can still land a real
+        # RTF.  One cold shape re-wedges, but the watchdog then emits an
+        # artifact naming the stage, which is no worse than giving up.
+        if cache_entries > 0 and deadline - time.time() > 120.0:
+            cache_rescue = True
+            canary_s = -1.0   # sentinel: canary never returned
+            _log("canary hard-down but compile cache is hot "
+                 f"({cache_entries} entries): attempting cache-only run")
+        else:
+            _emit_final({
+                "metric": "rtf_bench_incomplete",
+                "value": 0.0,
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": 0.0,
+                "error": ("compile path unavailable: " + canary_err
+                          + " — not a pipeline regression; rerun once "
+                            "the tunnel is restored"),
+                "ladder": "probe ok -> canary subprocess capped "
+                          f"at {canary_cap:.0f}s -> no cache entries "
+                          "to attempt a cache-only run with",
+                "compile_cache_dir": cache_dir or "disabled",
+                "compile_cache_entries": cache_entries,
+            })
+            return 0
     _STATE["canary"] = canary_s
-    _log(f"canary compile+run {canary_s}s")
+    _log(f"canary compile+run {canary_s}s (subprocess; "
+         f"cache entries {cache_entries})")
+
+    # tier the workload on canary health (VERDICT r4 #1b)
+    degraded_at = float(os.environ.get("BENCH_DEGRADED_CANARY_S", "30"))
+    degraded = cache_rescue or canary_s > degraded_at
+    staging = ""
+    if degraded:
+        repeats_default = "1"
+        if cache_entries == 0 and "BENCH_SECONDS" not in os.environ:
+            # no same-shape cache entries to hit: compile the cheapest
+            # possible fresh program set instead of the full config
+            seconds = 192
+        _log(f"canary {canary_s}s > {degraded_at}s: degraded tier "
+             f"(seconds={seconds}, repeats forced 1, cache reads ON, "
+             f"{'hot' if cache_entries else 'cold'})")
+    else:
+        repeats_default = "3"
 
     _stage("load_model")
+    import jax
+    if cache_dir:
+        if degraded:
+            _enable_compile_cache(cache_dir)   # reads may rescue the run
+        else:
+            # healthy: never read (cache-hit warmup measured 336 s vs
+            # 108 s cold compile on this backend) but refresh entries via
+            # a staging dir promoted after the headline lands
+            staging = cache_dir + ".staging"
+            import shutil
+            shutil.rmtree(staging, ignore_errors=True)
+            _enable_compile_cache(staging)
     from manual_whisper_tpu.pipeline import load_model
 
     asr_options = {"max_new_tokens": max_new, "int8_cross_kv": int8_ckv,
@@ -343,6 +537,11 @@ def main() -> int:
             "audio_s": seconds,
             "vad": vad_label,
             "canary_s": canary_s,
+            "compile_cache_entries": cache_entries,
+            **({"degraded_tier": True} if degraded else {}),
+            **({"cache_only_rescue": True,
+                "canary_note": "canary never returned (-1); run survived "
+                               "on cache hits"} if cache_rescue else {}),
         }
 
     # warmup: compile every program shape (mel, encode, prefill, decode
@@ -362,7 +561,7 @@ def main() -> int:
 
     # best-of-N: host<->device link latency varies run to run; the best
     # run reflects the pipeline, not transient link noise
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", repeats_default))
     elapsed = float("inf")
     result = None
     for i in range(max(repeats, 1)):
@@ -386,7 +585,7 @@ def main() -> int:
     # Best-effort — the wall headline above survives any failure here.
     # Every program is already compiled (warmup + repeats ran the same
     # shapes), so this costs about one repeat, not a compile.
-    if deadline - time.time() > 45.0:
+    if deadline - time.time() > (120.0 if degraded else 45.0):
         _stage("phase split (best effort)")
         try:
             encode_s, decode_s, gen_tokens, n_windows = _phase_split(
@@ -421,6 +620,9 @@ def main() -> int:
         out["phase_split_skipped"] = "insufficient budget"
 
     _emit_final(out)
+    if staging:
+        n = _promote_staging_cache(staging, cache_dir)
+        _log(f"promoted {n} staged compile-cache entries -> {cache_dir}")
     return 0
 
 
