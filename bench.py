@@ -498,6 +498,11 @@ def main() -> int:
 
     asr_options = {"max_new_tokens": max_new, "int8_cross_kv": int8_ckv,
                    "beam_size": beam}
+    # BENCH_CKV_SCALE=bf16 stores the int8 cross-KV scales in bf16
+    # (halves the scale read — VERDICT r4 #8 A/B knob)
+    ckv_scale = os.environ.get("BENCH_CKV_SCALE", "f32")
+    if ckv_scale == "bf16":
+        asr_options["ckv_scale_bf16"] = True
     if fused_env is not None:
         asr_options["fused_attention"] = fused_env == "1"
     model = load_model(
@@ -521,6 +526,8 @@ def main() -> int:
     suffix = "" if compute_type == "bfloat16" else f"_{compute_type}"
     if int8_ckv:
         suffix += "_ckv8"
+        if ckv_scale == "bf16":
+            suffix += "s16"
     if beam > 1:
         suffix += f"_beam{beam}"
     metric = (f"rtf_{model_name.replace('-', '_')}"

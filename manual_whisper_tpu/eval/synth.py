@@ -71,17 +71,47 @@ def _tone(freqs: Sequence[float], seconds: float,
     return (0.45 * x * env).astype(np.float32)
 
 
+def _babble(rng: np.random.Generator, n_samples: int,
+            n_streams: int = 4, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Speech-shaped interference: ``n_streams`` independent streams of
+    random lexicon words (each at a random level and random inter-word
+    gap), summed.  Unlike white noise this is NON-STATIONARY and lives in
+    exactly the band the target words occupy, so it defeats any purely
+    spectral separation — the discriminative mid-band condition VERDICT
+    r4 #6 asked for (white-noise SNR0 saturates to filler loops)."""
+    out = np.zeros(n_samples, np.float32)
+    for _ in range(n_streams):
+        cursor = int(rng.integers(0, int(0.3 * sr)))
+        level = float(rng.uniform(0.3, 1.0))
+        while cursor < n_samples:
+            w = WORD_LIST[int(rng.integers(0, len(WORD_LIST)))]
+            tone = _tone(WORDS[w], WORD_SEC, sr) * level
+            end = min(cursor + len(tone), n_samples)
+            out[cursor:end] += tone[: end - cursor]
+            cursor = end + int(rng.uniform(0.02, 0.25) * sr)
+    return out
+
+
 def _add_noise(audio: np.ndarray, rng: np.random.Generator,
-               snr_db: Optional[float]) -> np.ndarray:
-    """Additive white noise: the fixed NOISE floor when ``snr_db`` is
-    None (the historical "clean" condition), else scaled to the requested
-    signal-to-noise ratio over the whole file."""
+               snr_db: Optional[float],
+               noise_kind: str = "white") -> np.ndarray:
+    """Additive noise: the fixed NOISE floor when ``snr_db`` is None (the
+    historical "clean" condition), else ``noise_kind`` ("white" or
+    "babble") scaled to the requested signal-to-noise ratio over the
+    whole file."""
     if snr_db is None:
         return audio + NOISE * rng.standard_normal(len(audio)).astype(
             np.float32)
     sig_power = float(np.mean(audio.astype(np.float64) ** 2)) or 1e-12
     noise_power = sig_power / (10.0 ** (snr_db / 10.0))
-    noise = np.sqrt(noise_power) * rng.standard_normal(len(audio))
+    if noise_kind == "babble":
+        noise = _babble(rng, len(audio)).astype(np.float64)
+        cur = float(np.mean(noise ** 2)) or 1e-12
+        noise *= np.sqrt(noise_power / cur)
+    elif noise_kind == "white":
+        noise = np.sqrt(noise_power) * rng.standard_normal(len(audio))
+    else:
+        raise ValueError(f"unknown noise_kind {noise_kind!r}")
     return (audio + noise.astype(np.float32)).astype(np.float32)
 
 
@@ -119,6 +149,7 @@ def render_file_with_times(utterances: Sequence[Sequence[str]],
                            seed: int = 0, gap_sec: float = 0.5,
                            sr: int = SAMPLE_RATE,
                            snr_db: Optional[float] = None,
+                           noise_kind: str = "white",
                            ) -> Tuple[np.ndarray,
                                       List[Tuple[str, float, float]]]:
     """Multi-utterance file -> (audio, [(word, start, end), ...]).
@@ -141,7 +172,7 @@ def render_file_with_times(utterances: Sequence[Sequence[str]],
         parts.append(np.zeros(int(gap_sec * sr), np.float32))
         cursor += len(wav) / sr + gap_sec
     audio = np.concatenate(parts)
-    return _add_noise(audio, rng, snr_db), words_t
+    return _add_noise(audio, rng, snr_db, noise_kind), words_t
 
 
 def render_file(utterances: Sequence[Sequence[str]], seed: int = 0,

@@ -149,13 +149,14 @@ def _beam_step(dec_u, cfg, token, pos, cache, cross_layers, oh):
 
 @partial(jax.jit, static_argnames=("eot", "cfg", "max_new", "beam_size",
                                    "sot_index", "no_speech_token",
-                                   "int8_cross_kv"))
+                                   "int8_cross_kv", "ckv_scale_bf16"))
 def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
                     suppress_mask: jnp.ndarray, blank_mask: jnp.ndarray,
                     eot: int, cfg: WhisperConfig, max_new: int,
                     beam_size: int, length_penalty: float = 1.0,
                     sot_index: int = 0, no_speech_token: int = 0,
-                    int8_cross_kv: bool = False):
+                    int8_cross_kv: bool = False,
+                    ckv_scale_bf16: bool = False):
     """Beam search over a batch of encoded segments.
 
     Returns (tokens [B, max_new] of the best hypothesis, sum_logprobs [B],
@@ -172,8 +173,10 @@ def beam_decode_jit(params: Params, xa: jnp.ndarray, prefix: jnp.ndarray,
     eot_i32 = jnp.int32(eot)
     vocab = cfg.n_vocab
 
-    cross_kv = precompute_cross_kv(params, xa, cfg,
-                                   quantize=int8_cross_kv)  # [L,B,H,dh,Ta]
+    cross_kv = precompute_cross_kv(
+        params, xa, cfg, quantize=int8_cross_kv,
+        scale_dtype=(jnp.bfloat16 if ckv_scale_bf16
+                     else jnp.float32))  # [L,B,H,dh,Ta]
     cache = init_kv_cache(cfg, b, max_len=p + max_new)
     prefix_b = jnp.broadcast_to(prefix[None, :], (b, p))
     prefill_logits, cache = decoder_forward(

@@ -45,6 +45,10 @@ class DecodingOptions:
     beam_size: int = 1           # faster-whisper/WhisperX default is 5
     length_penalty: float = 1.0
     int8_cross_kv: bool = False  # halve decode HBM traffic (greedy + beam)
+    # bf16 per-position scales for the int8 cross-KV: halves the scale
+    # read (3.1 % vs 6.3 % of the int8 payload at dh=64, VERDICT r4 #8);
+    # adds <=0.4 % relative scale rounding on top of int8's ~0.8 %
+    ckv_scale_bf16: bool = False
     fused_attention: bool = False  # Pallas decode-step attention (TPU)
     suppress_blank: bool = True
     suppress_non_speech: bool = True
@@ -93,7 +97,7 @@ def build_blank_mask(tokenizer: WhisperTokenizer, cfg: WhisperConfig
 
 @partial(jax.jit, static_argnames=("eot", "cfg", "max_new", "sot_index",
                                    "no_speech_token", "int8_cross_kv",
-                                   "fused_attention"))
+                                   "fused_attention", "ckv_scale_bf16"))
 def greedy_decode_jit(params: Params, xa: jnp.ndarray,
                       prefix: jnp.ndarray, suppress_mask: jnp.ndarray,
                       blank_mask: jnp.ndarray, temperature: jnp.ndarray,
@@ -101,7 +105,8 @@ def greedy_decode_jit(params: Params, xa: jnp.ndarray,
                       eot: int, cfg: WhisperConfig, max_new: int,
                       sot_index: int = 0, no_speech_token: int = 0,
                       int8_cross_kv: bool = False,
-                      fused_attention: bool = False):
+                      fused_attention: bool = False,
+                      ckv_scale_bf16: bool = False):
     """Prefill + decode loop, one compiled program.
 
     xa [B, Ta, d]; prefix [P] shared prompt (identical across the batch —
@@ -118,7 +123,9 @@ def greedy_decode_jit(params: Params, xa: jnp.ndarray,
     p = prefix.shape[0]
     eot_i32 = jnp.int32(eot)
 
-    cross_kv = precompute_cross_kv(params, xa, cfg, quantize=int8_cross_kv)
+    cross_kv = precompute_cross_kv(
+        params, xa, cfg, quantize=int8_cross_kv,
+        scale_dtype=jnp.bfloat16 if ckv_scale_bf16 else jnp.float32)
     cache_len = (p + max_new if not fused_attention
                  else -(-(p + max_new) // 128) * 128)
     cache = init_kv_cache(cfg, b, max_len=cache_len)
@@ -310,7 +317,8 @@ class BatchDecoder:
                 self.opts.beam_size, self.opts.length_penalty,
                 sot_index=sot_index,
                 no_speech_token=tk.special.no_speech,
-                int8_cross_kv=self.opts.int8_cross_kv)
+                int8_cross_kv=self.opts.int8_cross_kv,
+                ckv_scale_bf16=self.opts.ckv_scale_bf16)
         else:
             if rng_tag is None:
                 rng_tag = next(self._rng_counter)
@@ -324,7 +332,8 @@ class BatchDecoder:
                 sot_index=sot_index,
                 no_speech_token=tk.special.no_speech,
                 int8_cross_kv=self.opts.int8_cross_kv,
-                fused_attention=self.opts.fused_attention)
+                fused_attention=self.opts.fused_attention,
+                ckv_scale_bf16=self.opts.ckv_scale_bf16)
         return out
 
     def decode_finalize(self, out, b: int, temperature: float = 0.0
@@ -383,7 +392,8 @@ class BatchDecoder:
             self.params, xa, prefix_dev, suppress,
             tk.special.eot, tk.special.timestamp_begin, self.cfg, max_new,
             fused_attention=self.opts.fused_attention,
-            int8_cross_kv=self.opts.int8_cross_kv)
+            int8_cross_kv=self.opts.int8_cross_kv,
+            ckv_scale_bf16=self.opts.ckv_scale_bf16)
 
     def timestamps_finalize(self, out, chunk_starts: Sequence[float],
                             chunk_durations: Sequence[float]

@@ -36,13 +36,14 @@ NEG = -1e30
 
 @partial(jax.jit, static_argnames=("eot", "ts_begin", "cfg", "max_new",
                                    "max_initial_index", "fused_attention",
-                                   "int8_cross_kv"))
+                                   "int8_cross_kv", "ckv_scale_bf16"))
 def greedy_timestamps_jit(params: Params, xa: jnp.ndarray,
                           prefix: jnp.ndarray, suppress_mask: jnp.ndarray,
                           eot: int, ts_begin: int, cfg: WhisperConfig,
                           max_new: int, max_initial_index: int = 50,
                           fused_attention: bool = False,
-                          int8_cross_kv: bool = False):
+                          int8_cross_kv: bool = False,
+                          ckv_scale_bf16: bool = False):
     """Greedy decode with timestamp rules.
 
     ``suppress_mask`` must NOT mask the timestamp region.  Returns
@@ -53,7 +54,9 @@ def greedy_timestamps_jit(params: Params, xa: jnp.ndarray,
     vocab = cfg.n_vocab
     eot_i32 = jnp.int32(eot)
 
-    cross_kv = precompute_cross_kv(params, xa, cfg, quantize=int8_cross_kv)
+    cross_kv = precompute_cross_kv(
+        params, xa, cfg, quantize=int8_cross_kv,
+        scale_dtype=jnp.bfloat16 if ckv_scale_bf16 else jnp.float32)
     cache_len = (p + max_new if not fused_attention
                  else -(-(p + max_new) // 128) * 128)
     cache = init_kv_cache(cfg, b, max_len=cache_len)

@@ -394,7 +394,8 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
 # -- decoder -----------------------------------------------------------------
 
 def precompute_cross_kv(params: Params, xa: jnp.ndarray,
-                        cfg: WhisperConfig, quantize: bool = False):
+                        cfg: WhisperConfig, quantize: bool = False,
+                        scale_dtype=jnp.float32):
     """Cross-attention K/V for all layers from encoder output xa [B, Ta, d].
 
     Returns (k, v) TRANSPOSED to [L, B, H, dh, Ta]; computed once per
@@ -418,14 +419,14 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
         k, v = jnp.swapaxes(k, -1, -2), jnp.swapaxes(v, -1, -2)
         if quantize:
             # one quantization recipe for both entry points
-            return None, quantize_cross_kv((k, v))
+            return None, quantize_cross_kv((k, v), scale_dtype=scale_dtype)
         return None, (k, v)
 
     _, out = jax.lax.scan(layer_kv, None, params["decoder"]["blocks"])
     return out
 
 
-def quantize_cross_kv(cross_kv):
+def quantize_cross_kv(cross_kv, scale_dtype=jnp.float32):
     """Per-position symmetric int8 for the cross-attention K/V.
 
     The decode loop re-reads the full cross K/V every step (~7.9 GB/step at
@@ -434,13 +435,20 @@ def quantize_cross_kv(cross_kv):
     (q . k_q[t]) * s_k[t] for scores and (p[t] * s_v[t]) @ v_q for values,
     so the only approximation is int8 rounding of K/V themselves.
     Takes/returns the transposed [..., dh, T] layout:
-    (k_q, k_s, v_q, v_s) with scales shaped [..., 1, T] float32.
+    (k_q, k_s, v_q, v_s) with scales shaped [..., 1, T] ``scale_dtype``.
+
+    ``scale_dtype=bfloat16`` halves the scale read per step (scales are
+    2/dh of the int8 payload — 3.1 % vs 6.3 % at dh=64; VERDICT r4 #8).
+    Quantisation still divides by the ROUNDED bf16 scale so the int8
+    codes stay exact for it; the only extra error is bf16 rounding of the
+    per-position max (<=0.4 % relative), on top of int8's ~0.8 %.
     """
     def q(x):
         x32 = x.astype(jnp.float32)
         s = jnp.max(jnp.abs(x32), axis=-2, keepdims=True) / 127.0
-        s = jnp.maximum(s, 1e-8)
-        qx = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+        s = jnp.maximum(s, 1e-8).astype(scale_dtype)
+        qx = jnp.clip(jnp.round(x32 / s.astype(jnp.float32)),
+                      -127, 127).astype(jnp.int8)
         return qx, s
     k, v = cross_kv
     k_q, k_s = q(k)

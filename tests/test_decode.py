@@ -201,6 +201,33 @@ def test_int8_cross_kv_decode_matches_bf16(setup):
     assert [r.tokens for r in q] == [r.tokens for r in ref]
 
 
+def test_bf16_ckv_scales_decode_matches_f32_scales(setup):
+    """bf16 per-position cross-KV scales (VERDICT r4 #8: halves the scale
+    read) keep greedy tokens identical to f32 scales on the tiny model,
+    and the dequantised K/V error stays within 1.3x of the f32-scale
+    int8 path (bf16 rounds the per-position max by <= 2^-9 relative)."""
+    import jax.numpy as jnp
+
+    from manual_whisper_tpu.models.whisper import precompute_cross_kv
+    params, cfg, tk, xa = setup
+    f = _decoder(params, cfg, tk, int8_cross_kv=True).decode(xa)
+    b = _decoder(params, cfg, tk, int8_cross_kv=True,
+                 ckv_scale_bf16=True).decode(xa)
+    assert [r.tokens for r in b] == [r.tokens for r in f]
+
+    ref_k = np.asarray(
+        precompute_cross_kv(params, xa, cfg, quantize=False)[0], np.float32)
+    q32 = precompute_cross_kv(params, xa, cfg, quantize=True)
+    q16 = precompute_cross_kv(params, xa, cfg, quantize=True,
+                              scale_dtype=jnp.bfloat16)
+    assert q16[1].dtype == jnp.bfloat16 and q16[3].dtype == jnp.bfloat16
+    e32 = np.abs(np.asarray(q32[0], np.float32)
+                 * np.asarray(q32[1], np.float32) - ref_k).max()
+    e16 = np.abs(np.asarray(q16[0], np.float32)
+                 * np.asarray(q16[1], np.float32) - ref_k).max()
+    assert e16 <= 1.3 * e32 + 1e-6
+
+
 def test_avg_logprob_denominator_is_len_plus_one(setup):
     """OpenAI/faster-whisper semantics: avg_logprob = sum over emitted
     steps / (len(tokens) + 1).  The loop's `lengths` counts the

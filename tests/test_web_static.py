@@ -163,3 +163,28 @@ def test_result_view_structure_matches_reference_layout():
     assert "body.result-wide" in css
     assert 'classList.toggle("result-wide"' in (WEB / "main.js").read_text(
         encoding="utf-8")
+
+
+def test_segment_view_speaker_coding_and_timestamp_gutter():
+    """Structured transcript column (VERDICT r4 #10): per-segment rows
+    with a timestamp gutter and speaker color coding, click-to-seek into
+    the result player; plain-markdown <pre> stays as the no-JSON
+    fallback (reference result-area rules, web/style.css:905-)."""
+    html = (WEB / "index.html").read_text(encoding="utf-8")
+    css = (WEB / "style.css").read_text(encoding="utf-8")
+    js = (WEB / "main.js").read_text(encoding="utf-8")
+    player = (WEB / "player.js").read_text(encoding="utf-8")
+    assert 'id="segment-list"' in html
+    for cls in ("segment-list", "segment-row", "seg-time", "seg-body",
+                "speaker-chip"):
+        assert f".{cls}" in css, f".{cls} missing from style.css"
+    # full 8-hue palette: chip background + row border accent per hue
+    for i in range(8):
+        assert f".spk-{i} " in css, f"spk-{i} hue missing"
+        assert f".spk-border-{i} " in css, f"spk-border-{i} missing"
+    # the gutter is tabular and the rows are clickable
+    assert "font-variant-numeric: tabular-nums" in css
+    assert "renderSegments(" in js
+    assert "seekTo(" in js and "seekTo(seconds)" in player
+    # fallback contract: no segments -> markdown pre shown, list hidden
+    assert "pre.hidden = false" in js and "list.hidden = true" in js

@@ -127,18 +127,24 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     # snr5 (r4): clean saturates at 0 and snr0 saturates near 1 (filler
     # loops), so r3's sweep had exactly one informative cell (snr10);
-    # an intermediate condition gives future deltas a second one
-    snr_sweep = {"clean": None, "snr10": 10.0, "snr5": 5.0, "snr0": 0.0}
+    # an intermediate condition gives future deltas a second one.
+    # babble10/babble5 (r5): NON-STATIONARY speech-shaped interference
+    # (VERDICT r4 #6) — competing tone-word streams in the target band,
+    # the synth analog of meeting-room babble/music.
+    snr_sweep = {"clean": (None, "white"), "snr10": (10.0, "white"),
+                 "snr5": (5.0, "white"), "snr0": (0.0, "white"),
+                 "babble10": (10.0, "babble"), "babble5": (5.0, "babble")}
     by_snr = {}
     rows = []
     total_audio = total_wall = 0.0
-    for cond, snr_db in snr_sweep.items():
+    for cond, (snr_db, noise_kind) in snr_sweep.items():
         wer_sum = cer_sum = 0.0
         for i in range(args.files):
             utts = [sample_text(rng, 4, 8)
                     for _ in range(int(rng.integers(2, 5)))]
             audio, words_t = render_file_with_times(
-                utts, seed=args.seed + i, snr_db=snr_db)
+                utts, seed=args.seed + i, snr_db=snr_db,
+                noise_kind=noise_kind)
             truth = " ".join(w for w, _, _ in words_t)
             t0 = time.time()
             result = model.transcribe(audio, batch_size=args.batch,

@@ -387,10 +387,9 @@ function finishProcess(final) {
         $("result-player-row").hidden = true;
     }
 
-    $("transcript-view").textContent = state.result.markdown || "";
-
     // sidebar meta line: source name, segment count, detected language
     const segs = final.output?.json?.segments || final.output?.segments || [];
+    renderSegments(segs, state.result.markdown || "");
     const lang = final.output?.json?.language || final.output?.language || "";
     const metaParts = [];
     if (state.file?.name) metaParts.push(state.file.name);
@@ -411,6 +410,58 @@ function finishProcess(final) {
     } else {
         qualityBox.hidden = true;
     }
+}
+
+// structured transcript: one row per segment with a tabular timestamp
+// gutter and (when diarization ran) a color-coded speaker chip; clicking
+// a row seeks the result player to the segment start.  Falls back to the
+// plain markdown <pre> when the result carries no segment JSON.
+const SPEAKER_HUES = 8; // .spk-0 … .spk-7 in style.css, cycled beyond
+
+function fmtStamp(sec) {
+    const s = Math.max(0, Number(sec) || 0);
+    const m = Math.floor(s / 60);
+    return `${m}:${(s - m * 60).toFixed(1).padStart(4, "0")}`;
+}
+
+function renderSegments(segs, markdown) {
+    const list = $("segment-list");
+    const pre = $("transcript-view");
+    list.textContent = "";
+    if (!segs.length) {
+        pre.textContent = markdown;
+        pre.hidden = false;
+        list.hidden = true;
+        return;
+    }
+    const hue = new Map(); // speaker label -> stable palette index
+    for (const seg of segs) {
+        const row = document.createElement("div");
+        row.className = "segment-row";
+        const time = document.createElement("span");
+        time.className = "seg-time";
+        time.textContent = `${fmtStamp(seg.start)}–${fmtStamp(seg.end)}`;
+        row.appendChild(time);
+        const body = document.createElement("div");
+        body.className = "seg-body";
+        if (seg.speaker) {
+            if (!hue.has(seg.speaker)) hue.set(seg.speaker, hue.size);
+            const idx = hue.get(seg.speaker) % SPEAKER_HUES;
+            const chip = document.createElement("span");
+            chip.className = `speaker-chip spk-${idx}`;
+            chip.textContent = seg.speaker;
+            body.appendChild(chip);
+            row.classList.add(`spk-border-${idx}`);
+        }
+        body.appendChild(
+            document.createTextNode((seg.text || "").trim()));
+        row.appendChild(body);
+        row.addEventListener("click",
+            () => players.result.seekTo(seg.start));
+        list.appendChild(row);
+    }
+    list.hidden = false;
+    pre.hidden = true;
 }
 
 function downloadResult(kind) {
@@ -463,6 +514,7 @@ function resetToInput() {
     $("start-btn").disabled = true;
     $("preview-row").hidden = true;
     $("result-player-row").hidden = true;
+    renderSegments([], "");   // clear the structured transcript view
     renderFileInfo();
     showSection("input");
 }

@@ -110,6 +110,17 @@ export function attachPlayer(ids) {
     };
 
     return {
+        // transcript click-to-seek: jump to a segment start (seconds)
+        seekTo(seconds) {
+            if (!el.audio.src) return;
+            const dur = el.audio.duration;
+            el.audio.currentTime = Number.isFinite(dur)
+                ? Math.min(Math.max(0, seconds), dur)
+                : Math.max(0, seconds);
+            renderTimes();
+            renderTrack();
+            if (el.audio.paused) el.audio.play().catch(() => {});
+        },
         setSource(url, name) {
             // revoke the previous blob URL so repeated tasks don't pin
             // every selected/recorded audio buffer until the tab closes
