@@ -35,14 +35,16 @@ in-process canary that never returned):
      artifact (canary_blocked_s, the probe result, the ladder steps
      taken) and exits 0 — proof the ladder ran, not a bare zero.
   2. A persistent XLA compile cache (BENCH_COMPILE_CACHE_DIR, default
-     .jax_bench_cache/) backs the DEGRADED tier only.  Measured on this
-     backend (r5): cache-hit warmup 336 s vs cold-compile warmup 108 s —
-     reads are a 3x loss on a healthy tunnel, consistent with the old
-     173 s-vs-40 s measurement, so healthy runs never read the cache.
-     They still REFRESH it: compiles land in a staging dir which is
-     promoted into the cache after the headline is emitted, so a future
-     wedged-compile run (r4's failure: compiles never return, dispatches
-     stay fast) can cache-hit its way to a real RTF instead of a zero.
+     .jax_bench_cache/) is READ whenever it has entries — degraded OR
+     healthy canary (r5 evidence: a 23.8 s canary preceded a warmup
+     whose compiles never returned; the canary samples one moment of an
+     erratic tunnel, so a healthy reading does not license cold
+     compiles when hits are available).  Stale entries never hit
+     (content-addressed).  BENCH_CACHE_READS=0 restores write-only
+     staging.  With an EMPTY cache, compiles land in a staging dir
+     promoted into the cache after the headline is emitted AND on
+     watchdog exit (partial progress survives a wedged run, so
+     consecutive budget-exhausted runs ratchet toward a full hit).
      The canary always runs cache-less so it measures true compile-path
      health rather than a cache hit.
   3. If the canary returns slow (> BENCH_DEGRADED_CANARY_S, default
@@ -132,6 +134,15 @@ def _watchdog(deadline: float) -> None:
     head["watchdog"] = f"budget exhausted during stage: {_STATE['stage']}"
     if _STATE.get("canary") is not None:
         head.setdefault("canary_s", _STATE["canary"])
+    # salvage compiles that DID finish before the wedge: promote staging
+    # entries into the persistent cache so consecutive budget-exhausted
+    # runs ratchet forward until one fully cache-hits (r5: a fast canary
+    # followed by a wedged warmup left zero entries behind, wasting the
+    # 108 s of compiles that had already completed)
+    n = _promote_staging_cache(_STATE.get("staging", ""),
+                               _STATE.get("cache_dir", ""))
+    if n:
+        head["staging_promoted_on_watchdog"] = n
     _emit_final(head)   # no-op if main printed first
     os._exit(0)
 
@@ -484,16 +495,31 @@ def main() -> int:
     _stage("load_model")
     import jax
     if cache_dir:
-        if degraded:
-            _enable_compile_cache(cache_dir)   # reads may rescue the run
+        if degraded or cache_entries > 0:
+            # reads may rescue the run.  Entries present => read even on
+            # a healthy canary: r5 evidence is that a 23.8 s canary can
+            # still precede a warmup whose compiles never return (the
+            # canary samples one moment of an erratic tunnel), and a
+            # same-code cache hit skips the compile entirely.  Stale
+            # entries never hit (content-addressed), they only cost the
+            # lookup.  BENCH_CACHE_READS=0 restores write-only staging.
+            if os.environ.get("BENCH_CACHE_READS", "1") == "1":
+                _enable_compile_cache(cache_dir)
+            else:
+                staging = cache_dir + ".staging"
+                import shutil
+                shutil.rmtree(staging, ignore_errors=True)
+                _enable_compile_cache(staging)
         else:
-            # healthy: never read (cache-hit warmup measured 336 s vs
-            # 108 s cold compile on this backend) but refresh entries via
-            # a staging dir promoted after the headline lands
+            # empty cache: nothing to read — write compiles to a staging
+            # dir promoted into the cache after the headline lands (and,
+            # since r5, on watchdog exit too) so the NEXT run can hit
             staging = cache_dir + ".staging"
             import shutil
             shutil.rmtree(staging, ignore_errors=True)
             _enable_compile_cache(staging)
+        _STATE["staging"] = staging
+        _STATE["cache_dir"] = cache_dir
     from manual_whisper_tpu.pipeline import load_model
 
     asr_options = {"max_new_tokens": max_new, "int8_cross_kv": int8_ckv,

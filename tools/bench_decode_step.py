@@ -33,6 +33,11 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--no-int8", action="store_true",
                     help="bf16 weights + bf16 cross-KV instead of int8")
+    ap.add_argument("--ab", default="fused", choices=("fused", "ckv16"),
+                    help="which static knob to A/B: 'fused' = Pallas vs "
+                         "einsum decode attention; 'ckv16' = f32 vs bf16 "
+                         "cross-KV scales on the einsum path "
+                         "(VERDICT r4 #8)")
     args = ap.parse_args()
 
     import jax
@@ -60,17 +65,23 @@ def main() -> int:
     temp = jnp.float32(0.0)
     rng = jax.random.PRNGKey(2)
 
-    def run(fused: bool):
+    def run(fused: bool, ckv16: bool = False):
         return greedy_decode_jit(
             params, xa, prefix, suppress, blank, temp, rng,
             eot=50257, cfg=cfg, max_new=args.max_new,
-            int8_cross_kv=not args.no_int8, fused_attention=fused)
+            int8_cross_kv=not args.no_int8, fused_attention=fused,
+            ckv_scale_bf16=ckv16)
 
+    # (label, kwargs) variants; the SECOND is the candidate, speedup is
+    # variant[0].s / variant[1].s
+    variants = ([("einsum", {"fused": False}), ("fused", {"fused": True})]
+                if args.ab == "fused" else
+                [("ckv_s32", {"fused": False, "ckv16": False}),
+                 ("ckv_s16", {"fused": False, "ckv16": True})])
     out = {}
     toks = {}
-    for fused in (False, True):
-        name = "fused" if fused else "einsum"
-        r = jax.block_until_ready(run(fused))          # compile + warm
+    for name, kw in variants:
+        r = jax.block_until_ready(run(**kw))           # compile + warm
         toks[name] = np.asarray(r[0])
         gen = int(np.asarray(r[2]).sum())
         best = float("inf")
