@@ -351,7 +351,8 @@ def constrained_agglomerative_cluster(embeddings: np.ndarray,
                                       groups: np.ndarray,
                                       threshold: float = 0.7,
                                       min_speakers: int = 1,
-                                      max_speakers: Optional[int] = None
+                                      max_speakers: Optional[int] = None,
+                                      cl_trust_floor: float = 0.3
                                       ) -> np.ndarray:
     """Average-linkage cosine AHC with CANNOT-LINK constraints: two
     entries sharing a ``groups`` id never merge into one cluster.
@@ -362,6 +363,17 @@ def constrained_agglomerative_cluster(embeddings: np.ndarray,
     biggest source of under-clustering (measured here: the 4-speaker
     eval's closest voice pair merged on 1 of 4 files, zeroing one
     speaker's accuracy and double-claiming frames downstream).
+
+    ``cl_trust_floor`` (r5): a cannot-link pair whose embeddings sit
+    CLOSER than this cosine distance is dropped before clustering.  The
+    constraint propagates transitively through merges, so a single
+    window where segmentation hallucinates one voice as two local
+    speakers permanently splits that speaker no matter the threshold
+    (measured: threshold 0.7→0.85 left the same pred-4-of-3 splits at
+    DER 0.22-0.26).  A hallucinated split yields two embeddings of the
+    SAME voice — near-identical — while genuinely distinct speakers in
+    an overlap window are far apart in embedding space, so distance
+    separates trustworthy constraints from artifacts.
 
     Vectorised Lance-Williams merge loop: O(n^2) memory, argmin over the
     full matrix per merge (n sliding-window entries for an hour of audio
@@ -376,6 +388,10 @@ def constrained_agglomerative_cluster(embeddings: np.ndarray,
     cannot = np.asarray(groups)[:, None] == np.asarray(groups)[None, :]
     np.fill_diagonal(d, np.inf)
     np.fill_diagonal(cannot, False)
+    # drop artifact constraints: same-window pairs whose embeddings are
+    # near-identical are one voice segmentation split in two, not two
+    # people (see docstring; genuine overlap pairs sit far apart)
+    cannot &= d > cl_trust_floor
     dw = np.where(cannot, np.inf, d)
     size = np.ones(n)
     merged_into = np.arange(n)      # union-find, path-free (small n)
@@ -529,11 +545,16 @@ class DiarizationPipeline:
                  window_sec: float = 3.0,
                  step_sec: float = 1.5,
                  seg_step_sec: Optional[float] = None,
-                 threshold: float = 0.7,
+                 # 0.8 (r5): with the cannot-link trust floor in place,
+                 # 0.8 fixes the threshold-sensitive same-speaker splits
+                 # (3-spk overlap DER 0.133 -> 0.053) with zero movement
+                 # on 2-spk and 4-spk — see tools/der_ablation.py
+                 threshold: float = 0.8,
                  min_cluster_size: int = 2,
                  activity_onset: float = 0.5,
                  activity_offset: float = 0.35,
-                 powerset_decode: str = "argmax"):
+                 powerset_decode: str = "argmax",
+                 cl_trust_floor: float = 0.3):
         from .vad import PyanNetConfig, load_segmentation_params
         if segmentation_params is None:
             try:
@@ -570,6 +591,9 @@ class DiarizationPipeline:
         # sub-half-window values)
         self.seg_step_sec = seg_step_sec
         self.threshold = threshold
+        # cannot-link pairs closer than this are segmentation artifacts
+        # (one voice split across two local slots), not two people
+        self.cl_trust_floor = cl_trust_floor
         # clusters smaller than this reassign to the nearest big cluster
         # (_absorb_small_clusters); pyannote-3.1's min_cluster_size rule
         self.min_cluster_size = min_cluster_size
@@ -776,7 +800,8 @@ class DiarizationPipeline:
         groups = np.asarray([wi for wi, _, _ in entries])
         labels = constrained_agglomerative_cluster(
             embs, groups, threshold=self.threshold,
-            min_speakers=min_speakers or 1, max_speakers=max_speakers)
+            min_speakers=min_speakers or 1, max_speakers=max_speakers,
+            cl_trust_floor=self.cl_trust_floor)
         labels = _absorb_small_clusters(labels, embs,
                                         min_size=self.min_cluster_size,
                                         floor=min_speakers or 1,

@@ -87,7 +87,7 @@ def main() -> int:
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.time()
-            jax.block_until_ready(run(fused))
+            jax.block_until_ready(run(**kw))
             best = min(best, time.time() - t0)
         out[name] = {"s": round(best, 4), "gen_tokens": gen,
                      "ms_per_token_row": round(1000 * best / max(
@@ -95,13 +95,14 @@ def main() -> int:
                      "tokens_per_s": round(gen / best, 1)}
         print(f"{name}: {out[name]}", flush=True)
 
-    match = bool((toks["fused"] == toks["einsum"]).all())
-    speedup = out["einsum"]["s"] / out["fused"]["s"]
+    (base_name, _), (cand_name, _) = variants
+    match = bool((toks[base_name] == toks[cand_name]).all())
+    speedup = out[base_name]["s"] / out[cand_name]["s"]
     print(json.dumps({
         "model": args.model, "batch": b, "max_new": args.max_new,
         "int8": not args.no_int8, "tokens_match": match,
-        "fused_speedup_vs_einsum": round(speedup, 3),
-        "einsum": out["einsum"], "fused": out["fused"],
+        f"{cand_name}_speedup_vs_{base_name}": round(speedup, 3),
+        base_name: out[base_name], cand_name: out[cand_name],
     }))
     return 0
 

@@ -54,6 +54,12 @@ def main() -> int:
                          "perf default)")
     ap.add_argument("--long-minutes", type=int, default=60,
                     help="length of the long-file DER check (0 skips)")
+    ap.add_argument("--powerset-decode", default="argmax",
+                    choices=("argmax", "marginal"),
+                    help="diarization powerset decode (tools/der_ablation"
+                         ".py picks the operating point)")
+    ap.add_argument("--activity-onset", type=float, default=0.5)
+    ap.add_argument("--activity-offset", type=float, default=0.35)
     ap.add_argument("--seed", type=int, default=9000)
     ap.add_argument("--out", default=None,
                     help="output JSON (default EVAL_r03.json; ablation "
@@ -212,7 +218,10 @@ def main() -> int:
         if args.wer_only:
             raise _Skip
         from manual_whisper_tpu.models.diarize import DiarizationPipeline
-        diar = DiarizationPipeline()
+        diar = DiarizationPipeline(
+            powerset_decode=args.powerset_decode,
+            activity_onset=args.activity_onset,
+            activity_offset=args.activity_offset)
         for cond, (n_spk, ov) in {
                 "2spk": (2, 0.0), "3spk_overlap": (3, 0.25),
                 "4spk_overlap": (4, 0.25)}.items():
@@ -262,6 +271,9 @@ def main() -> int:
         "word_timing": timing,
         "corpus_rtf": round(total_audio / max(total_wall, 1e-9), 2),
         "vad": "trained segmentation" if vad is not None else "energy",
+        "diarization": {"powerset_decode": args.powerset_decode,
+                        "activity_onset": args.activity_onset,
+                        "activity_offset": args.activity_offset},
         "der": der_conds,
         "worst": sorted(rows, key=lambda r: -r["wer"])[:3],
     }
