@@ -55,7 +55,12 @@ def transcribe_audio(audio_file: str, hf_token=None,
                      # the reference's CT2 engine decodes with beam 5 by
                      # default; greedy is our default (faster, near-equal
                      # WER with the fallback ladder) — opt in via .env
-                     "beam_size": config.get_int("BEAM_SIZE", 1)},
+                     "beam_size": config.get_int("BEAM_SIZE", 1),
+                     # bf16 per-position int8 cross-KV scales: halves
+                     # scale HBM traffic, +2.3% decode throughput at
+                     # batch 32 (tools/bench_decode_step.py --ab ckv16)
+                     "ckv_scale_bf16":
+                         config.get_env("MWX_CKV_SCALE", "f32") == "bf16"},
         vad_options={
             "vad_onset": config.get_float("VAD_ONSET", 0.5),
             "vad_offset": config.get_float("VAD_OFFSET", 0.363),

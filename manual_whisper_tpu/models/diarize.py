@@ -364,16 +364,24 @@ def constrained_agglomerative_cluster(embeddings: np.ndarray,
     eval's closest voice pair merged on 1 of 4 files, zeroing one
     speaker's accuracy and double-claiming frames downstream).
 
-    ``cl_trust_floor`` (r5): a cannot-link pair whose embeddings sit
-    CLOSER than this cosine distance is dropped before clustering.  The
-    constraint propagates transitively through merges, so a single
-    window where segmentation hallucinates one voice as two local
-    speakers permanently splits that speaker no matter the threshold
-    (measured: threshold 0.7→0.85 left the same pred-4-of-3 splits at
-    DER 0.22-0.26).  A hallucinated split yields two embeddings of the
-    SAME voice — near-identical — while genuinely distinct speakers in
-    an overlap window are far apart in embedding space, so distance
-    separates trustworthy constraints from artifacts.
+    ``cl_trust_floor`` (r5): a cannot-link edge between two clusters is
+    ENFORCED only while their (average-linkage) distance exceeds this
+    value; closer than it, the edge is treated as a segmentation
+    artifact and ignored.  The constraint propagates transitively
+    through merges, so windows where segmentation hallucinates one
+    voice as two local speakers permanently split that speaker no
+    matter the threshold (measured: threshold 0.7→0.85 left the same
+    pred-4-of-3 splits at DER 0.22-0.26).  A hallucinated split yields
+    embeddings of the SAME voice — near-identical — while genuinely
+    distinct speakers in an overlap window are far apart, so distance
+    separates trustworthy constraints from artifacts.  The floor is
+    applied DYNAMICALLY against the evolving cluster distance, not once
+    at entry level: the overlap-heavy segmentation checkpoint
+    hallucinates often enough on hour-scale audio that every
+    same-speaker cluster pair eventually accumulates an edge (measured:
+    60-min 3-spk file predicted 8 speakers, DER 0.357, with entry-level
+    dropping only), and the cluster-level average distance is the
+    statistic that stays small for same-voice pairs.
 
     Vectorised Lance-Williams merge loop: O(n^2) memory, argmin over the
     full matrix per merge (n sliding-window entries for an hour of audio
@@ -388,11 +396,10 @@ def constrained_agglomerative_cluster(embeddings: np.ndarray,
     cannot = np.asarray(groups)[:, None] == np.asarray(groups)[None, :]
     np.fill_diagonal(d, np.inf)
     np.fill_diagonal(cannot, False)
-    # drop artifact constraints: same-window pairs whose embeddings are
-    # near-identical are one voice segmentation split in two, not two
-    # people (see docstring; genuine overlap pairs sit far apart)
-    cannot &= d > cl_trust_floor
-    dw = np.where(cannot, np.inf, d)
+    # an edge only blocks a merge while the pair is far apart (see
+    # docstring: near-identical cannot-linked clusters are one voice
+    # segmentation split in two, not two people)
+    dw = np.where(cannot & (d > cl_trust_floor), np.inf, d)
     size = np.ones(n)
     merged_into = np.arange(n)      # union-find, path-free (small n)
     n_active = n
@@ -422,7 +429,8 @@ def constrained_agglomerative_cluster(embeddings: np.ndarray,
         cannot[i] |= cannot[j]
         cannot[:, i] |= cannot[:, j]
         d[i, i] = np.inf
-        dw[i] = np.where(cannot[i], np.inf, d[i])
+        dw[i] = np.where(cannot[i] & (d[i] > cl_trust_floor),
+                         np.inf, d[i])
         dw[:, i] = dw[i]
         d[j], d[:, j] = np.inf, np.inf
         dw[j], dw[:, j] = np.inf, np.inf

@@ -271,7 +271,11 @@ class PipelineBackend:
         self.model_name = model_name or config.get_env(
             "WHISPER_MODEL", "large-v3")
         self.batch_size = batch_size or config.get_int("BATCH_SIZE", 16)
-        asr_options = {"beam_size": config.get_int("BEAM_SIZE", 1)}
+        asr_options = {"beam_size": config.get_int("BEAM_SIZE", 1),
+                       # bf16 int8 cross-KV scales (+2.3% decode at
+                       # batch 32, tools/bench_decode_step.py --ab ckv16)
+                       "ckv_scale_bf16":
+                           config.get_env("MWX_CKV_SCALE", "f32") == "bf16"}
         if config.get_bool("USE_INITIAL_PROMPT", False):
             prompt = config.get_env("INITIAL_PROMPT")
             if not prompt:

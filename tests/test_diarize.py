@@ -295,3 +295,53 @@ def test_pyannet_frames_per_window_matches_forward():
     out = pyannet_forward(
         params, np.zeros((1, int(cfg.window_sec * SR)), np.float32), cfg)
     assert out.shape[1] == cfg.frames_per_window
+
+
+def test_constrained_cluster_trust_floor_is_dynamic():
+    """Cannot-link edges are enforced only while the cluster pair sits
+    farther apart than cl_trust_floor (r5): a voice that segmentation
+    hallucinates as two local speakers in MANY windows must still merge
+    (hour-scale failure: every same-speaker cluster pair eventually
+    accumulates an edge, 60-min pred 8-9 speakers, DER 0.36-0.37),
+    while genuinely distinct speakers — far apart — stay split no
+    matter how the threshold is raised."""
+    from manual_whisper_tpu.models.diarize import (
+        constrained_agglomerative_cluster)
+    rng = np.random.default_rng(0)
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    a = unit(rng.standard_normal(16))
+    b = unit(rng.standard_normal(16))
+    # two entries per window: a noisy copy of voice A twice (the
+    # hallucinated split — same voice, cosine distance ~0) in windows
+    # 0..5, and A vs B (genuine overlap, far apart) in windows 6..11
+    embs, groups = [], []
+    for w in range(6):
+        embs += [unit(a + 0.02 * rng.standard_normal(16)),
+                 unit(a + 0.02 * rng.standard_normal(16))]
+        groups += [w, w]
+    for w in range(6, 12):
+        embs += [unit(a + 0.02 * rng.standard_normal(16)),
+                 unit(b + 0.02 * rng.standard_normal(16))]
+        groups += [w, w]
+    embs = np.asarray(embs)
+    groups = np.asarray(groups)
+
+    labels = constrained_agglomerative_cluster(
+        embs, groups, threshold=0.8, cl_trust_floor=0.3)
+    # all A-entries merge into ONE cluster despite the 6 same-window
+    # edges among them; B stays its own cluster
+    a_labels = {int(l) for i, l in enumerate(labels)
+                if i < 12 or i % 2 == 0}
+    b_labels = {int(labels[i]) for i in range(13, 24, 2)}
+    assert len(a_labels) == 1
+    assert len(b_labels) == 1
+    assert a_labels != b_labels
+
+    # floor 0 restores hard constraints: the hallucinated split sticks
+    labels0 = constrained_agglomerative_cluster(
+        embs, groups, threshold=0.8, cl_trust_floor=0.0)
+    a0 = {int(l) for i, l in enumerate(labels0) if i < 12}
+    assert len(a0) > 1

@@ -214,6 +214,7 @@ def test_asr_options_forward_every_decoding_field(tiny_pipeline):
         asr_options={"suppress_blank": False, "suppress_non_speech": False,
                      "no_speech_threshold": 0.9, "max_new_tokens": 12,
                      "log_prob_threshold": None, "beam_size": 2,
+                     "ckv_scale_bf16": True,  # MWX_CKV_SCALE=bf16 (cli/jobs)
                      "not_a_decoding_option": 1},  # unknown keys ignored
         language="zh")
     dec = pipe._decoder("zh", (0.0,))
@@ -223,6 +224,7 @@ def test_asr_options_forward_every_decoding_field(tiny_pipeline):
     assert dec.opts.max_new_tokens == 12
     assert dec.opts.log_prob_threshold is None
     assert dec.opts.beam_size == 2
+    assert dec.opts.ckv_scale_bf16 is True
 
 
 def test_bounded_inflight_matches_unbounded(monkeypatch):

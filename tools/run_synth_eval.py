@@ -137,8 +137,15 @@ def main() -> int:
     # babble10/babble5 (r5): NON-STATIONARY speech-shaped interference
     # (VERDICT r4 #6) — competing tone-word streams in the target band,
     # the synth analog of meeting-room babble/music.
+    # snr7 + babble15 (r5): the first babble sweep saturated high
+    # (babble10 WER 0.88, babble5 1.03 — speech-shaped maskers are far
+    # harder per dB than white noise), leaving snr10 (0.32) the ONLY
+    # cell with 0 < WER < 0.5; these two sit in the gaps (white 10→5 dB
+    # jumps 0.32→0.65, babble needs >10 dB to leave saturation) so the
+    # band has multiple discriminative cells for future quality deltas.
     snr_sweep = {"clean": (None, "white"), "snr10": (10.0, "white"),
-                 "snr5": (5.0, "white"), "snr0": (0.0, "white"),
+                 "snr7": (7.0, "white"), "snr5": (5.0, "white"),
+                 "snr0": (0.0, "white"), "babble15": (15.0, "babble"),
                  "babble10": (10.0, "babble"), "babble5": (5.0, "babble")}
     by_snr = {}
     rows = []
